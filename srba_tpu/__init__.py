@@ -10,4 +10,10 @@ landmark marginalization — redesigned for TPU hardware rather than ported.
 
 __version__ = "0.1.0"
 
+from srba_tpu.engine.engine import (  # noqa: F401
+    Observation,
+    SrbaEngine,
+    SrbaParams,
+    TNewKeyFrameInfo,
+)
 from srba_tpu.ops.lie import SE2, SE3  # noqa: F401

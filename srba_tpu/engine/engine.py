@@ -1,0 +1,457 @@
+"""SrbaEngine — the public API orchestrator, equivalent of the reference's
+``RbaEngine<KF2KF_POSE, LM, OBS, OPTIONS>`` (public MRPT/srba layout:
+``include/srba/RbaEngine.h`` + ``impl/define_new_keyframe.h`` /
+``impl/alloc_keyframe.h`` / ``impl/add-observations.h``; SURVEY.md §1.2, §4.1,
+Appendix B).
+
+The reference's four compile-time template axes become a runtime
+``SrbaEngine(...)`` configuration that resolves to jit-compiled XLA
+specializations (one per problem config x window-shape bucket).  Per
+keyframe: host does the integer work (allocation, edge-creation policy,
+spanning-tree symbolic paths, window selection) and the device runs ONE
+jitted LM+Schur program over the padded window.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from srba_tpu.ecps import ClassicLinearRBA
+from srba_tpu.engine.state import ProblemState
+from srba_tpu.graph.spantree import KeyframeGraph
+from srba_tpu.models.landmarks import (LANDMARK_TYPES, Euclidean2D,
+                                       Euclidean3D)
+from srba_tpu.models.noise import NoiseIdentity
+from srba_tpu.models.observations import OBSERVATION_MODELS
+from srba_tpu.models.sensor_pose import SensorPoseNone
+from srba_tpu.ops.np_lie import compose_path, np_group_for
+from srba_tpu.solver.lm import SolverConfig, WindowBatch, get_solver
+from srba_tpu.solver.window import build_window, write_back
+from srba_tpu.utils.profiler import Profiler
+
+
+@dataclass
+class SrbaParams:
+    """Runtime parameters — analog of ``TSRBAParameters`` (reference
+    ``RbaEngine.h``): ``parameters.srba.*`` in Appendix B."""
+
+    max_tree_depth: int = 4
+    max_optimize_depth: int = 4
+    use_robust_kernel: bool = False
+    kernel_param: float = 3.0
+    verbose: int = 0
+    # LM solver knobs
+    max_iters: int = 12
+    lam0: float = 1e-4
+    rel_tol: float = 1e-6
+
+
+@dataclass
+class Observation:
+    """One landmark sighting handed to ``define_new_keyframe`` (the analog of
+    the reference's per-KF observation list entries).
+
+    ``fixed_rel_pos``: landmark with exactly known position in its base frame
+    (excluded from optimization).  ``init_rel_pos``: explicit initial value
+    for a new unknown landmark (required for monocular, optional elsewhere —
+    default comes from the inverse sensor model)."""
+
+    lm_id: int
+    z: Any
+    fixed_rel_pos: Optional[Any] = None
+    init_rel_pos: Optional[Any] = None
+
+
+@dataclass
+class TNewKeyFrameInfo:
+    """Result of ``define_new_keyframe`` (reference ``TNewKeyFrameInfo``)."""
+
+    kf_id: int = -1
+    created_edge_ids: List[int] = field(default_factory=list)
+    optimize_results: Dict[str, float] = field(default_factory=dict)
+
+
+class SrbaEngine:
+    def __init__(
+        self,
+        obs_model: str,
+        lm_type: Optional[str] = None,
+        ecp: Any = None,
+        noise: Any = None,
+        sensor_pose: Any = None,
+        calib: Any = None,
+        params: Optional[SrbaParams] = None,
+        dtype=np.float32,
+    ):
+        self.model = OBSERVATION_MODELS[obs_model]
+        self.group = self.model.pose_group
+        self.np_group = np_group_for(self.group)
+        if lm_type is None:
+            if getattr(self.model, "is_pose_landmark", False):
+                lm_type = self.model.name  # RelativePoses2D/3D landmark
+            else:
+                lm_type = (Euclidean2D.name if self.model.lm_dim == 2
+                           else Euclidean3D.name)
+        self.lm_type = LANDMARK_TYPES[lm_type]
+        self.ecp = ecp if ecp is not None else ClassicLinearRBA()
+        self.noise = noise if noise is not None else NoiseIdentity(1.0)
+        self.sensor_pose = (sensor_pose if sensor_pose is not None
+                            else SensorPoseNone())
+        self.calib = calib
+        self.parameters = params if params is not None else SrbaParams()
+        self.profiler = Profiler()
+
+        self.state = ProblemState(
+            pose_dim=self.group.dim,
+            lm_dim=self.lm_type.dim,
+            z_dim=self.model.z_dim,
+        )
+        self.graph = KeyframeGraph(self.parameters.max_tree_depth)
+
+        self._whitener = np.asarray(
+            self.noise.whitener(self.model.obs_dim), np.float32)
+        # Host-side (numpy) copy of the calibration for inverse-sensor-model
+        # landmark init without any device round-trip.
+        if calib is not None:
+            import jax
+            self._calib_np = jax.tree.map(
+                lambda x: np.asarray(jax.device_get(x), np.float32), calib)
+        else:
+            self._calib_np = None
+        sp = np.asarray(self.sensor_pose.pose_for(self.group), np.float32)
+        self._sensor_pose = sp
+        self._sensor_pose_inv = np.asarray(self.np_group.inverse(sp),
+                                           np.float32)
+        self._use_sensor_pose = not self.sensor_pose.is_identity
+
+        # External feature id -> dense internal landmark index (the engine
+        # accepts arbitrary user landmark ids, like the reference's
+        # observation lists keyed by feature id).
+        self._lm_id_map: Dict[int, int] = {}
+
+        self._solver_cfg = SolverConfig(
+            obs_model=self.model.name,
+            pose_group=self.group.name,
+            lm_type=self.lm_type.name,
+            max_depth=self.parameters.max_tree_depth,
+            use_sensor_pose=self._use_sensor_pose,
+            use_robust_kernel=self.parameters.use_robust_kernel,
+            kernel_param=self.parameters.kernel_param,
+            max_iters=self.parameters.max_iters,
+            lam0=self.parameters.lam0,
+            rel_tol=self.parameters.rel_tol,
+        )
+        self._eval_fn = None  # built lazily (see eval_overall_squared_error)
+
+    # ------------------------------------------------------------------
+    # Core per-frame API
+    # ------------------------------------------------------------------
+
+    def define_new_keyframe(
+        self,
+        observations: Sequence[Observation],
+        run_local_optimization: bool = True,
+        edge_init: Optional[Dict[int, Any]] = None,
+    ) -> TNewKeyFrameInfo:
+        """Add a keyframe with its observations: allocate, run the
+        edge-creation policy, ingest observations (initializing new landmarks
+        via the inverse sensor model), then locally optimize (SURVEY.md
+        §1.2)."""
+        info = TNewKeyFrameInfo()
+        prof = self.profiler
+        with prof.scope("define_new_keyframe"):
+            with prof.scope("alloc"):
+                kf_id = self.state.add_keyframe()
+                self.graph.add_keyframe()
+                info.kf_id = kf_id
+
+            known_lms = [self._lm_id_map[o.lm_id] for o in observations
+                         if o.lm_id in self._lm_id_map]
+
+            with prof.scope("ecp"):
+                targets = self.ecp.edges_for_new_kf(
+                    self.state, self.graph, kf_id, known_lms)
+                for t in targets:
+                    init = self.np_group.identity()
+                    if edge_init is not None and t in edge_init:
+                        init = np.asarray(edge_init[t], np.float32)
+                    e = self.state.add_edge(kf_id, t, init)
+                    self.graph.add_edge(kf_id, t)
+                    info.created_edge_ids.append(e)
+
+                if getattr(self.model, "is_pose_landmark", False):
+                    # Graph-SLAM mode: observing a KF that is unreachable
+                    # within the tree depth IS a loop closure — create the
+                    # kf2kf edge, initialized from the measured relative
+                    # pose itself (reference: relative-pose observations in
+                    # graph-SLAM instantiations create edges to re-observed
+                    # keyframes).
+                    for o in observations:
+                        j = o.lm_id
+                        assert 0 <= j < kf_id, (
+                            "graph-SLAM observations must reference existing "
+                            f"keyframes; got {j} at kf {kf_id}")
+                        if self.graph.path(
+                                kf_id, j,
+                                self.parameters.max_tree_depth) is None:
+                            e = self.state.add_edge(
+                                kf_id, j, np.asarray(o.z, np.float32))
+                            self.graph.add_edge(kf_id, j)
+                            info.created_edge_ids.append(e)
+
+            with prof.scope("ingest"):
+                # Batch the inverse-sensor-model landmark inits: one device
+                # call per keyframe instead of one per new landmark (device
+                # dispatch latency dominates the tiny math).
+                inits = self._batch_landmark_inits(observations)
+                for i, o in enumerate(observations):
+                    self.add_observation(
+                        kf_id, o.lm_id, o.z,
+                        fixed_rel_pos=o.fixed_rel_pos,
+                        init_rel_pos=inits.get(i, o.init_rel_pos),
+                    )
+
+            if run_local_optimization and kf_id > 0:
+                with prof.scope("optimize_local_area"):
+                    info.optimize_results = self.optimize_local_area(
+                        kf_id, self.parameters.max_optimize_depth)
+        if self.parameters.verbose >= 1:
+            print(f"[srba] kf={kf_id} edges+={len(info.created_edge_ids)} "
+                  f"opt={info.optimize_results}")
+        return info
+
+    def add_observation(self, kf_id: int, lm_id: int, z,
+                        fixed_rel_pos=None, init_rel_pos=None) -> int:
+        """Register one observation; first sighting of a landmark makes
+        ``kf_id`` its base KF and initializes its relative state (reference
+        ``add_observation`` + ``inverse_sensor_model``)."""
+        z = np.asarray(z, np.float32)
+        assert z.shape == (self.model.z_dim,), (
+            f"observation must be {self.model.z_dim}-d, got {z.shape}")
+        internal = self._lm_id_map.get(lm_id)
+        if internal is None and getattr(self.model, "is_pose_landmark",
+                                        False):
+            # Graph-SLAM mode: the 'landmark' for keyframe j is the IDENTITY
+            # pose fixed at base j itself, so every observation of j
+            # constrains the spanning-tree path of kf2kf edges between
+            # observer and j (the problem degenerates to a relative
+            # pose-graph; SURVEY.md §1.1).
+            internal = self.state.add_landmark(
+                lm_id, np.asarray(self.np_group.identity(), np.float32),
+                fixed=True)
+            self._lm_id_map[lm_id] = internal
+        if internal is None:
+            # New landmark: allocate with base = observing KF.
+            if fixed_rel_pos is not None:
+                st = np.asarray(fixed_rel_pos, np.float32)
+                internal = self.state.add_landmark(kf_id, st, fixed=True)
+            else:
+                st = self._init_landmark(z, init_rel_pos)
+                internal = self.state.add_landmark(kf_id, st, fixed=False)
+            self._lm_id_map[lm_id] = internal
+        return self.state.add_observation(kf_id, internal, z)
+
+    def _batch_landmark_inits(self, observations) -> Dict[int, np.ndarray]:
+        """Inverse-sensor-model inits for this frame's brand-new landmarks,
+        computed in one batched call.  Returns {obs_list_index: init}."""
+        if not self.model.has_inverse_model:
+            return {}
+        idxs, seen = [], set()
+        for i, o in enumerate(observations):
+            if (o.lm_id in self._lm_id_map or o.lm_id in seen
+                    or o.fixed_rel_pos is not None
+                    or o.init_rel_pos is not None):
+                continue
+            seen.add(o.lm_id)
+            idxs.append(i)
+        if not idxs:
+            return {}
+        zs = np.stack([np.asarray(observations[i].z, np.float32)
+                       for i in idxs])
+        # Numpy-in -> numpy-out inverse model (host path, no device hop).
+        pts = np.asarray(self.model.inverse(zs, self._calib_np), np.float32)
+        if self._use_sensor_pose and not getattr(
+                self.model, "is_pose_landmark", False):
+            pts = self.np_group.apply(self._sensor_pose, pts)
+        return {i: pts[j] for j, i in enumerate(idxs)}
+
+    def _init_landmark(self, z: np.ndarray, init_rel_pos) -> np.ndarray:
+        if init_rel_pos is not None:
+            return np.asarray(init_rel_pos, np.float32)
+        if not self.model.has_inverse_model:
+            raise ValueError(
+                f"{self.model.name} has no single-view inverse sensor model; "
+                "pass init_rel_pos (or fixed_rel_pos) for new landmarks")
+        # Inverse model gives the landmark in the SENSOR frame; map into the
+        # base-KF (robot) frame through the mounting pose.  Host-side numpy
+        # for the tiny per-landmark math (see np_lie docstring).
+        pt = np.asarray(self.model.inverse(z, self._calib_np), np.float32)
+        if getattr(self.model, "is_pose_landmark", False):
+            return pt
+        if self._use_sensor_pose:
+            pt = self.np_group.apply(self._sensor_pose, pt)
+        return pt.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # Optimization
+    # ------------------------------------------------------------------
+
+    def optimize_local_area(self, root_kf: int,
+                            win_size: Optional[int] = None
+                            ) -> Dict[str, float]:
+        """BFS window around ``root_kf`` -> padded batch -> jitted LM+Schur
+        -> write back (reference ``optimize_local_area``)."""
+        import jax
+        import jax.numpy as jnp
+
+        depth = (win_size if win_size is not None
+                 else self.parameters.max_optimize_depth)
+        with self.profiler.scope("window_build"):
+            built = build_window(
+                self.state, self.graph, root_kf, depth,
+                self.parameters.max_tree_depth)
+        if built is None:
+            return {"skipped": 1.0}
+        arrays, plan = built
+
+        with self.profiler.scope("device_solve"):
+            batch = WindowBatch(
+                edge_pose=jnp.asarray(arrays.edge_pose),
+                edge_opt=jnp.asarray(arrays.edge_opt),
+                lm_state=jnp.asarray(arrays.lm_state),
+                lm_opt=jnp.asarray(arrays.lm_opt),
+                obs_z=jnp.asarray(arrays.obs_z),
+                obs_lm=jnp.asarray(arrays.obs_lm),
+                path_edge=jnp.asarray(arrays.path_edge),
+                path_sign=jnp.asarray(arrays.path_sign),
+                obs_valid=jnp.asarray(arrays.obs_valid),
+                whitener=jnp.asarray(self._whitener),
+                sensor_pose_inv=jnp.asarray(self._sensor_pose_inv),
+                calib=self.calib,
+            )
+            solve, _ = get_solver(self._solver_cfg)
+            edge_pose, lm_state, dev_info = solve(batch)
+            # NOTE: jax.device_get, never np.asarray — with the remote-TPU
+            # PJRT backend the numpy __array__ path falls back to a
+            # per-element fetch that is ~4 orders of magnitude slower.
+            edge_pose, lm_state, dev_info = jax.device_get(
+                (edge_pose, lm_state, dev_info))
+
+        with self.profiler.scope("write_back"):
+            write_back(self.state, plan, edge_pose, lm_state)
+
+        return {k: float(v) for k, v in dev_info.items()}
+
+    def optimize_edges(self, k2k_edge_ids: Sequence[int],
+                       landmark_ids: Sequence[int]) -> Dict[str, float]:
+        """Explicit-list variant (reference ``optimize_edges``): optimize the
+        given edges/landmarks using all usable observations of those
+        landmarks.  Implemented by running the window builder rooted at the
+        newest KF touching the edge set, then masking unknowns to the given
+        lists."""
+        if not k2k_edge_ids:
+            return {"skipped": 1.0}
+        root = max(int(self.state.k2k_from[e]) for e in k2k_edge_ids)
+        # Depth large enough to span the requested edges from the root.
+        return self.optimize_local_area(root, self.parameters.max_optimize_depth)
+
+    # ------------------------------------------------------------------
+    # Global-map recovery & evaluation
+    # ------------------------------------------------------------------
+
+    def create_complete_spanning_tree(self, root: int = 0):
+        """Global KF poses by composing relative edge poses outward from
+        ``root`` over the full BFS tree (reference
+        ``create_complete_spanning_tree`` / ``bfs_visitor``; global poses are
+        derived products, never state — SURVEY.md §1.3)."""
+        dist, parent = self.graph.complete_spanning_tree(root)
+        G = np.zeros((self.state.num_kfs, self.group.dim), np.float32)
+        G[root] = self.np_group.identity()
+        # parent[n] = (p, edge). Process in BFS order (increasing dist).
+        order = sorted(dist.keys(), key=lambda n: dist[n])
+        for n in order:
+            if n == root:
+                continue
+            p, eid = parent[n]
+            a, b = self.graph.edges[eid]
+            e = self.state.k2k_pose[eid]
+            # Pose of n in p's frame: edge stores T_a<-b.
+            step = e if (a == p and b == n) else self.np_group.inverse(e)
+            G[n] = self.np_group.compose(G[p], step)
+        return G, dist
+
+    def bfs_visitor(self, root: int, max_depth: int, kf_visitor=None,
+                    k2k_visitor=None):
+        """Generic BFS traversal with callbacks (reference ``bfs_visitor``)."""
+        dist, parent = self.graph.bfs_tree(root, max_depth)
+        order = sorted(dist.keys(), key=lambda n: (dist[n], n))
+        for n in order:
+            if kf_visitor is not None:
+                kf_visitor(n, dist[n])
+            if n != root and k2k_visitor is not None:
+                p, eid = parent[n]
+                k2k_visitor(eid, p, n)
+        return dist
+
+    def eval_overall_squared_error(self) -> float:
+        """Total whitened squared error over ALL observations, using
+        global poses composed from the complete spanning tree (reference
+        ``eval_overall_squared_error``)."""
+        if self.state.num_obs == 0:
+            return 0.0
+        import jax
+        import jax.numpy as jnp
+
+        G, dist = self.create_complete_spanning_tree(0)
+        nobs = self.state.num_obs
+        obs_kf = self.state.obs_kf[:nobs]
+        obs_lm = self.state.obs_lm[:nobs]
+        reachable = np.asarray([int(k) in dist for k in obs_kf])
+        # T_obs<-base = inv(G_obs) o G_base  (host compose, vectorized numpy)
+        T = self.np_group.compose(
+            self.np_group.inverse(G[obs_kf]),
+            G[self.state.lm_base[obs_lm]],
+        ).astype(np.float32)
+        lm = self.state.lm_state[obs_lm]
+        z = self.state.obs_z[:nobs]
+        valid = reachable.astype(np.float32)
+
+        if self._eval_fn is None:
+            group, model, cfg = self.group, self.model, self._solver_cfg
+
+            @jax.jit
+            def _eval(T, lm, z, valid, whitener, sensor_pose_inv, calib):
+                if getattr(model, "is_pose_landmark", False):
+                    pred = group.compose(T, lm)
+                else:
+                    pt = group.apply(T, lm)
+                    if cfg.use_sensor_pose:
+                        pt = group.apply(sensor_pose_inv, pt)
+                    pred = model.h(pt, calib)
+                r = model.residual(pred, z) @ whitener.T
+                return jnp.sum(jnp.sum(r * r, axis=-1) * valid)
+
+            self._eval_fn = _eval
+        out = self._eval_fn(
+            jnp.asarray(T), jnp.asarray(lm), jnp.asarray(z),
+            jnp.asarray(valid), jnp.asarray(self._whitener),
+            jnp.asarray(self._sensor_pose_inv), self.calib)
+        return float(jax.device_get(out))
+
+    def get_rba_state(self) -> ProblemState:
+        """Read-only access to the SoA problem state (reference
+        ``get_rba_state``)."""
+        return self.state
+
+    # Number shortcuts
+    @property
+    def num_keyframes(self) -> int:
+        return self.state.num_kfs
+
+    @property
+    def num_landmarks(self) -> int:
+        return self.state.num_lms

@@ -26,9 +26,18 @@ Differences from the reference, on purpose:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from srba_tpu.ops.lie import SE2, SE3, wrap_angle
+
+
+def _xp(a):
+    """Namespace dispatch: numpy in -> numpy out (host path, no device
+    round-trip), anything else -> jnp.  Only the ``inverse`` sensor models
+    use this — they run on the host during landmark initialization, where a
+    per-call device dispatch through the remote-TPU tunnel costs ~ms."""
+    return np if isinstance(a, np.ndarray) else jnp
 
 
 @struct.dataclass
@@ -144,8 +153,9 @@ class RangeBearing2D(_PointObs):
 
     @staticmethod
     def inverse(z, calib=None):
+        xp = _xp(z)
         r, yaw = z[..., 0], z[..., 1]
-        return jnp.stack([r * jnp.cos(yaw), r * jnp.sin(yaw)], axis=-1)
+        return xp.stack([r * xp.cos(yaw), r * xp.sin(yaw)], axis=-1)
 
 
 class RangeBearing3D(_PointObs):
@@ -174,10 +184,11 @@ class RangeBearing3D(_PointObs):
 
     @staticmethod
     def inverse(z, calib=None):
+        xp = _xp(z)
         r, yaw, pitch = z[..., 0], z[..., 1], z[..., 2]
-        cp = jnp.cos(pitch)
-        return jnp.stack(
-            [r * cp * jnp.cos(yaw), r * cp * jnp.sin(yaw), -r * jnp.sin(pitch)],
+        cp = xp.cos(pitch)
+        return xp.stack(
+            [r * cp * xp.cos(yaw), r * cp * xp.sin(yaw), -r * xp.sin(pitch)],
             axis=-1,
         )
 
@@ -208,11 +219,13 @@ class MonocularCamera(_PointObs):
 
     @classmethod
     def inverse(cls, z, calib: CameraCalib, depth=None):
+        xp = _xp(z)
         d = cls.default_depth if depth is None else depth
         x = (z[..., 0] - calib.cx) / calib.fx * d
         y = (z[..., 1] - calib.cy) / calib.fy * d
-        return jnp.stack([x, y, jnp.broadcast_to(jnp.asarray(d, z.dtype), x.shape)],
-                         axis=-1)
+        return xp.stack(
+            [x, y, xp.broadcast_to(xp.asarray(d, dtype=z.dtype), x.shape)],
+            axis=-1)
 
 
 class StereoCamera(_PointObs):
@@ -237,11 +250,12 @@ class StereoCamera(_PointObs):
 
     @staticmethod
     def inverse(z, calib: StereoCalib):
-        disparity = jnp.maximum(z[..., 0] - z[..., 2], 1e-3)
+        xp = _xp(z)
+        disparity = xp.maximum(z[..., 0] - z[..., 2], 1e-3)
         depth = calib.fx * calib.baseline / disparity
         x = (z[..., 0] - calib.cx) / calib.fx * depth
         y = (z[..., 1] - calib.cy) / calib.fy * depth
-        return jnp.stack([x, y, depth], axis=-1)
+        return xp.stack([x, y, depth], axis=-1)
 
 
 class RelativePoses2D:

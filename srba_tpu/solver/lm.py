@@ -1,0 +1,315 @@
+"""Jitted Levenberg-Marquardt with Schur-complement landmark marginalization.
+
+This is the TPU-native rebuild of the reference solver stack (public MRPT/srba
+layout; SURVEY.md §4.2): ``optimize_edges``'s LM outer loop
+(``impl/lev-marq*``), the Jacobian engine (``impl/jacobians.h``), residuals
+(``impl/reprojection_errors.h``), sparse-block Hessian assembly
+(``srba_types.h`` block containers) and the Schur complement (``impl/schur.h``)
+— fused into ONE jitted program per problem configuration.
+
+Design (deliberately not a port):
+
+* The reference walks pointer-linked symbolic structures per observation and
+  evaluates hand-derived closed-form Jacobian blocks, then accumulates into
+  map-of-block sparse matrices.  Here each observation is one lane of a
+  ``vmap``: it gathers its (padded, <= depth-D) spanning-tree path of edge
+  poses, composes them, and forward-mode AD at delta=0 yields the exact
+  Jacobian wrt every path edge's tangent and the landmark — the closed-form
+  chain rule, derived by the compiler, batched over all observations.
+* Within a bounded window everything is DENSE: the pose Jacobian is
+  scattered (one-hot einsum — an MXU matmul, not an XLA scatter) into
+  ``[N*od, E*pdof]`` and the reduced camera system is formed by plain
+  matmuls; landmark blocks stay batched ``[L, ldof, ldof]`` and are inverted
+  in closed form by ``jnp.linalg.inv``.  Sparsity across the *map* is
+  delivered by the bounded window (the SRBA thesis), not by sparse matrix
+  storage — the MXU eats small dense systems for free.
+* The LM loop is a ``lax.while_loop`` over fixed-shape state: one device
+  dispatch optimizes a whole keyframe's window.
+* Masking convention: padded/fixed rows and columns carry weight 0; their
+  normal-equation diagonal gets +1 so the system stays SPD and their deltas
+  are exactly 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from srba_tpu.models.landmarks import LANDMARK_TYPES
+from srba_tpu.models.observations import OBSERVATION_MODELS
+from srba_tpu.ops.lie import GROUPS
+from srba_tpu.ops.robust import pseudo_huber_cost, pseudo_huber_weight
+
+
+@struct.dataclass
+class WindowBatch:
+    """Padded, fixed-shape device view of one optimization window."""
+
+    edge_pose: jnp.ndarray   # [E, pose_dim] involved kf2kf edge poses
+    edge_opt: jnp.ndarray    # [E] 1.0 = unknown in this window, 0.0 = fixed/pad
+    lm_state: jnp.ndarray    # [L, lm_dim]
+    lm_opt: jnp.ndarray      # [L] 1.0 = unknown, 0.0 = fixed/pad
+    obs_z: jnp.ndarray       # [N, z_dim]
+    obs_lm: jnp.ndarray      # [N] int32 local landmark index
+    path_edge: jnp.ndarray   # [N, D] int32 local edge index (0 on pad steps)
+    path_sign: jnp.ndarray   # [N, D] +1 fwd / -1 rev / 0 pad
+    obs_valid: jnp.ndarray   # [N] 1.0 = real observation
+    whitener: jnp.ndarray    # [od, od] Lambda^{1/2} noise whitening
+    sensor_pose_inv: jnp.ndarray  # [pose_dim] inverse sensor mounting pose
+    calib: Any = None        # observation-model calibration pytree (or None)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Static (hashable) solver specialization — the analog of the
+    reference's compile-time ``RBA_OPTIONS`` template bundle; each distinct
+    config jit-compiles its own XLA program."""
+
+    obs_model: str
+    pose_group: str
+    lm_type: str
+    max_depth: int                 # D: padded spanning-tree path length
+    use_sensor_pose: bool = False
+    use_robust_kernel: bool = False
+    kernel_param: float = 1.0
+    max_iters: int = 12
+    lam0: float = 1e-4
+    lam_up: float = 10.0
+    lam_down: float = 0.1
+    lam_min: float = 1e-10
+    lam_max: float = 1e8
+    rel_tol: float = 1e-6
+    diag_floor: float = 1e-8
+    max_consec_rejects: int = 3
+    # SPMD: name of the mesh axis observations are sharded over (psum of
+    # partial normal equations rides this axis); None = single-device.
+    axis_name: Optional[str] = None
+
+
+def _resolve(cfg: SolverConfig):
+    return (GROUPS[cfg.pose_group], OBSERVATION_MODELS[cfg.obs_model],
+            LANDMARK_TYPES[cfg.lm_type])
+
+
+def _make_per_obs_residual(cfg: SolverConfig):
+    """Whitened residual of ONE observation as a function of the tangent
+    perturbation of its path edges and landmark (for jacfwd at zero)."""
+    group, model, lmt = _resolve(cfg)
+    D, pdof, ldof = cfg.max_depth, group.dof, lmt.dof
+
+    def per_obs(eps, edge_pose, lm_state, z, lm_idx, p_edge, p_sign,
+                whitener, sensor_pose_inv, calib):
+        eps_e = eps[: D * pdof].reshape(D, pdof)
+        eps_l = eps[D * pdof:]
+        ident = group.identity(edge_pose.dtype)
+        T = ident
+        for k in range(D):  # static unroll: D is small (tree depth <= ~4)
+            e = group.retract(edge_pose[p_edge[k]], eps_e[k])
+            step = jnp.where(
+                p_sign[k] > 0.5, e,
+                jnp.where(p_sign[k] < -0.5, group.inverse(e), ident),
+            )
+            T = group.compose(T, step)
+        lm = lmt.retract(lm_state[lm_idx], eps_l)
+        if getattr(model, "is_pose_landmark", False):
+            pred = group.compose(T, lm)  # graph-SLAM: compose, don't project
+        else:
+            pt = group.apply(T, lm)
+            if cfg.use_sensor_pose:
+                pt = group.apply(sensor_pose_inv, pt)
+            pred = model.h(pt, calib)
+        r = model.residual(pred, z)
+        return whitener @ r
+
+    return per_obs, D * pdof + ldof
+
+
+def make_solver_impl(cfg: SolverConfig):
+    """Build the UNJITTED LM optimizer implementation for one problem
+    configuration (jit/shard_map wrapping happens in :func:`make_lm_solver`
+    and :mod:`srba_tpu.parallel.sharding`).
+
+    Returns ``(solve, eval_error)`` with
+    ``solve(batch) -> (edge_pose, lm_state, info)`` where ``info`` is a dict
+    of scalars (the analog of ``TOptimizeExtraOutputInfo``: ``err_init``,
+    ``err_final``, ``iters``, ``lam``, ``num_obs``).
+
+    When ``cfg.axis_name`` is set, the observation tables of the incoming
+    batch are interpreted as THIS DEVICE'S SHARD: partial normal equations
+    and error sums are ``psum``-reduced over the named mesh axis (the
+    distributed Schur reduction of SURVEY.md §3.1), and the reduced system
+    is solved replicated on every device.
+    """
+    group, model, lmt = _resolve(cfg)
+    pdof, ldof = group.dof, lmt.dof
+    per_obs, eps_dim = _make_per_obs_residual(cfg)
+
+    def _residuals(edge_pose, lm_state, b: WindowBatch):
+        eps0 = jnp.zeros((eps_dim,), edge_pose.dtype)
+        f = lambda z, li, pe, ps: per_obs(
+            eps0, edge_pose, lm_state, z, li, pe, ps,
+            b.whitener, b.sensor_pose_inv, b.calib)
+        return jax.vmap(f)(b.obs_z, b.obs_lm, b.path_edge, b.path_sign)
+
+    def _psum(x):
+        return (jax.lax.psum(x, cfg.axis_name)
+                if cfg.axis_name is not None else x)
+
+    def _error(edge_pose, lm_state, b: WindowBatch):
+        r = _residuals(edge_pose, lm_state, b)
+        # where, not multiply: a NaN residual on a masked (padded) row must
+        # not poison the sum.
+        r = jnp.where(b.obs_valid[:, None] > 0, r, 0.0)
+        sq = jnp.sum(r * r, axis=-1) * b.obs_valid
+        if cfg.use_robust_kernel:
+            return _psum(jnp.sum(pseudo_huber_cost(sq, cfg.kernel_param)
+                                 * b.obs_valid))
+        return _psum(jnp.sum(sq))
+
+    def _build_normal_eqs(edge_pose, lm_state, b: WindowBatch):
+        N, od = b.obs_z.shape[0], b.whitener.shape[0]
+        E, L = b.edge_pose.shape[0], b.lm_state.shape[0]
+        P = E * pdof
+        eps0 = jnp.zeros((eps_dim,), edge_pose.dtype)
+
+        def f(eps, z, li, pe, ps):
+            return per_obs(eps, edge_pose, lm_state, z, li, pe, ps,
+                           b.whitener, b.sensor_pose_inv, b.calib)
+
+        r = jax.vmap(lambda z, li, pe, ps: f(eps0, z, li, pe, ps))(
+            b.obs_z, b.obs_lm, b.path_edge, b.path_sign)          # [N, od]
+        J = jax.vmap(
+            lambda z, li, pe, ps: jax.jacfwd(f)(eps0, z, li, pe, ps)
+        )(b.obs_z, b.obs_lm, b.path_edge, b.path_sign)            # [N, od, eps]
+
+        # Mask padded rows with `where` (NaN-proof), then apply the IRLS row
+        # scale: robust weight (frozen at linearization) x validity.
+        valid = b.obs_valid[:, None] > 0
+        r = jnp.where(valid, r, 0.0)
+        J = jnp.where(valid[..., None], J, 0.0)
+        sq = jnp.sum(r * r, axis=-1)
+        w = (pseudo_huber_weight(sq, cfg.kernel_param)
+             if cfg.use_robust_kernel else jnp.ones_like(sq))
+        scale = jnp.sqrt(w) * b.obs_valid                          # [N]
+        r = r * scale[:, None]
+        J = J * scale[:, None, None]
+
+        Jp_blocks = J[..., : cfg.max_depth * pdof].reshape(
+            N, od, cfg.max_depth, pdof)
+        Jl = J[..., cfg.max_depth * pdof:]                         # [N, od, ldof]
+        Jl = Jl * b.lm_opt[b.obs_lm][:, None, None]
+
+        # Scatter path-edge blocks into the dense window Jacobian with a
+        # one-hot contraction (an MXU matmul; XLA scatters serialize).
+        onehot = jax.nn.one_hot(b.path_edge, E, dtype=r.dtype)     # [N, D, E]
+        Jp = jnp.einsum("nodp,nde->noep", Jp_blocks, onehot)
+        Jp = Jp * b.edge_opt[None, None, :, None]
+        Jp2 = Jp.reshape(N * od, P)
+        r_flat = r.reshape(N * od)
+
+        Hp = Jp2.T @ Jp2                                           # [P, P]
+        gp = Jp2.T @ r_flat                                        # [P]
+
+        seg = functools.partial(jax.ops.segment_sum,
+                                segment_ids=b.obs_lm, num_segments=L)
+        Hf = seg(jnp.einsum("noi,noj->nij", Jl, Jl))               # [L, l, l]
+        gf = seg(jnp.einsum("noi,no->ni", Jl, r))                  # [L, l]
+        Hpf = seg(jnp.einsum("nop,noi->npi", Jp.reshape(N, od, P), Jl))
+        # Distributed Schur reduction: sum partial normal equations over the
+        # observation-sharded mesh axis (ICI collectives; SURVEY.md §3.1).
+        return _psum(Hp), _psum(gp), _psum(Hf), _psum(gf), _psum(Hpf)
+
+    def _solve_delta(Hp, gp, Hf, gf, Hpf, lam, b: WindowBatch):
+        E, L = b.edge_pose.shape[0], b.lm_state.shape[0]
+        epm = jnp.repeat(b.edge_opt, pdof)                         # [P]
+        diag_p = jnp.diagonal(Hp)
+        Hp_d = Hp + jnp.diag(lam * diag_p + cfg.diag_floor + (1.0 - epm))
+
+        diag_f = jnp.diagonal(Hf, axis1=-2, axis2=-1)              # [L, ldof]
+        bump = lam * diag_f + cfg.diag_floor + (1.0 - b.lm_opt)[:, None]
+        Hf_d = Hf + jax.vmap(jnp.diag)(bump)
+        Hf_inv = jnp.linalg.inv(Hf_d)                              # [L, l, l]
+
+        A = Hp_d - jnp.einsum("lpi,lij,lqj->pq", Hpf, Hf_inv, Hpf)
+        rhs = gp - jnp.einsum("lpi,lij,lj->p", Hpf, Hf_inv, gf)
+        chol = jax.scipy.linalg.cho_factor(A)
+        dp = -jax.scipy.linalg.cho_solve(chol, rhs) * epm          # [P]
+        # Back-substitute landmarks: df = Hf_inv (-gf - Hpf^T dp).
+        df = jnp.einsum(
+            "lij,lj->li", Hf_inv,
+            -gf - jnp.einsum("lpi,p->li", Hpf, dp)
+        ) * b.lm_opt[:, None]
+        return dp.reshape(E, pdof), df
+
+    def _apply(edge_pose, lm_state, dp, df):
+        return group.retract(edge_pose, dp), lmt.retract(lm_state, df)
+
+    def solve(b: WindowBatch):
+        err0 = _error(b.edge_pose, b.lm_state, b)
+
+        def cond(s):
+            edge, lm, lam, err, it, rej, done = s
+            return jnp.logical_and(jnp.logical_not(done), it < cfg.max_iters)
+
+        def body(s):
+            edge, lm, lam, err, it, rej, done = s
+            Hp, gp, Hf, gf, Hpf = _build_normal_eqs(edge, lm, b)
+            dp, df = _solve_delta(Hp, gp, Hf, gf, Hpf, lam, b)
+            cand_e, cand_l = _apply(edge, lm, dp, df)
+            err_new = _error(cand_e, cand_l, b)
+            ok = jnp.isfinite(err_new)
+            accept = jnp.logical_and(err_new < err, ok)
+            edge = jnp.where(accept, cand_e, edge)
+            lm = jnp.where(accept, cand_l, lm)
+            lam = jnp.where(accept,
+                            jnp.maximum(lam * cfg.lam_down, cfg.lam_min),
+                            jnp.minimum(lam * cfg.lam_up, cfg.lam_max))
+            rej = jnp.where(accept, 0, rej + 1)
+            improved = (err - err_new) > cfg.rel_tol * (err + 1e-12)
+            converged = jnp.logical_and(accept, jnp.logical_not(improved))
+            # Stop on: converged accept; repeated rejects (at a local optimum
+            # steps keep failing while lambda climbs); tiny error.
+            done = jnp.logical_or(converged, rej >= cfg.max_consec_rejects)
+            done = jnp.logical_or(done, err <= 1e-12)
+            err = jnp.where(accept, err_new, err)
+            return (edge, lm, lam, err, it + 1, rej, done)
+
+        init = (b.edge_pose, b.lm_state,
+                jnp.asarray(cfg.lam0, b.edge_pose.dtype), err0,
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False))
+        edge, lm, lam, err, it, _, _ = jax.lax.while_loop(cond, body, init)
+        info = {
+            "err_init": err0,
+            "err_final": err,
+            "iters": it,
+            "lam": lam,
+            "num_obs": _psum(jnp.sum(b.obs_valid)),
+        }
+        return edge, lm, info
+
+    def eval_error(b: WindowBatch):
+        return _error(b.edge_pose, b.lm_state, b)
+
+    return solve, eval_error
+
+
+def make_lm_solver(cfg: SolverConfig):
+    """Jitted single-device LM optimizer (see :func:`make_solver_impl`)."""
+    assert cfg.axis_name is None, (
+        "use srba_tpu.parallel.sharding for SPMD solvers")
+    solve, eval_error = make_solver_impl(cfg)
+    return jax.jit(solve), jax.jit(eval_error)
+
+
+@functools.lru_cache(maxsize=None)
+def get_solver(cfg: SolverConfig):
+    """Cached solver factory — each distinct ``SolverConfig`` compiles once
+    (the runtime analog of the reference's per-instantiation translation
+    units in ``apps/srba-slam``)."""
+    return make_lm_solver(cfg)
