@@ -1,0 +1,244 @@
+"""``srba_slam`` — dataset-driven offline SLAM runner, the analog of the
+reference's ``apps/srba-slam`` binary (TCLAP flags, per-KF loop over a text
+dataset, GT error eval, profiler dump; SURVEY.md §4.3, L8).
+
+The reference dispatches over a precompiled matrix of template
+instantiations; here the problem type is resolved at runtime from flags and
+jit-compiles its own specializations on first use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="srba_slam",
+        description="TPU-native SRBA: run SLAM over a dataset file or a "
+                    "synthetic world.")
+    src = p.add_argument_group("input")
+    src.add_argument("--dataset", help="dataset text file (see io.dataset_io)")
+    src.add_argument("--gt-path", help="ground-truth poses file for ATE eval")
+    src.add_argument("--synthetic", choices=["loop2d", "loop3d", "graphslam2d",
+                                             "graphslam3d"],
+                     help="generate a synthetic dataset instead of reading one")
+    src.add_argument("--num-kfs", type=int, default=100)
+    src.add_argument("--num-landmarks", type=int, default=180)
+    src.add_argument("--noise-std", type=float, default=0.005)
+    src.add_argument("--odo-noise-std", type=float, default=0.01)
+    src.add_argument("--seed", type=int, default=0)
+    src.add_argument("--save-dataset", help="write the (synthetic) dataset here")
+
+    prob = p.add_argument_group("problem type")
+    prob.add_argument("--obs", default="RangeBearing2D",
+                      help="observation model (see models.OBSERVATION_MODELS)")
+    prob.add_argument("--sensor-pose-camera", action="store_true",
+                      help="mount the sensor with the standard camera axes "
+                           "(z forward) on the robot")
+    prob.add_argument("--fx", type=float, default=200.0)
+    prob.add_argument("--fy", type=float, default=200.0)
+    prob.add_argument("--cx", type=float, default=160.0)
+    prob.add_argument("--cy", type=float, default=120.0)
+    prob.add_argument("--baseline", type=float, default=0.12)
+
+    srba = p.add_argument_group("srba parameters")
+    srba.add_argument("--max-tree-depth", type=int, default=4)
+    srba.add_argument("--max-optimize-depth", type=int, default=4)
+    srba.add_argument("--robust-kernel", action="store_true")
+    srba.add_argument("--kernel-param", type=float, default=3.0)
+    srba.add_argument("--max-iters", type=int, default=12)
+    srba.add_argument("--ecp", choices=["classic_linear_rba",
+                                        "local_areas_fixed_grid",
+                                        "local_areas_var1"],
+                      default="classic_linear_rba")
+    srba.add_argument("--submap-size", type=int, default=10)
+    srba.add_argument("--min-obs-loop-closure", type=int, default=4)
+    srba.add_argument("--obs-noise-std", type=float, default=1.0,
+                      help="observation noise sigma for whitening")
+
+    out = p.add_argument_group("output")
+    out.add_argument("--no-local-opt", action="store_true")
+    out.add_argument("--step-by-step", action="store_true",
+                     help="print per-KF optimize stats")
+    out.add_argument("--profile-stats", action="store_true")
+    out.add_argument("--export-dot")
+    out.add_argument("--export-g2o")
+    out.add_argument("--export-ply")
+    out.add_argument("--export-scene-json")
+    out.add_argument("--save-checkpoint")
+    out.add_argument("--resume-checkpoint")
+    out.add_argument("--json", action="store_true",
+                     help="print final summary as one JSON line")
+    out.add_argument("--verbose", type=int, default=0)
+    return p
+
+
+def _make_engine(args, obs_model):
+    from srba_tpu.ecps import (ClassicLinearRBA, LocalAreasFixedGrid,
+                               LocalAreasVar1)
+    from srba_tpu.engine.engine import SrbaEngine, SrbaParams
+    from srba_tpu.models.noise import NoiseIdentity
+    from srba_tpu.models.observations import CameraCalib, StereoCalib
+    from srba_tpu.models.sensor_pose import SensorPoseNone, SensorPoseSE3
+    from srba_tpu.ops.np_lie import CAMERA_SENSOR_POSE_SE3
+
+    calib = None
+    if obs_model == "MonocularCamera":
+        calib = CameraCalib.make(args.fx, args.fy, args.cx, args.cy)
+    elif obs_model == "StereoCamera":
+        calib = StereoCalib.make(args.fx, args.fy, args.cx, args.cy,
+                                 args.baseline)
+    sensor_pose = (SensorPoseSE3(CAMERA_SENSOR_POSE_SE3)
+                   if args.sensor_pose_camera else SensorPoseNone())
+    ecp = {
+        "classic_linear_rba": lambda: ClassicLinearRBA(),
+        "local_areas_fixed_grid": lambda: LocalAreasFixedGrid(
+            args.submap_size, args.min_obs_loop_closure),
+        "local_areas_var1": lambda: LocalAreasVar1(
+            args.submap_size, args.min_obs_loop_closure),
+    }[args.ecp]()
+    params = SrbaParams(
+        max_tree_depth=args.max_tree_depth,
+        max_optimize_depth=args.max_optimize_depth,
+        use_robust_kernel=args.robust_kernel,
+        kernel_param=args.kernel_param,
+        max_iters=args.max_iters,
+        verbose=args.verbose,
+    )
+    return SrbaEngine(obs_model, calib=calib, sensor_pose=sensor_pose,
+                      ecp=ecp, noise=NoiseIdentity(args.obs_noise_std),
+                      params=params)
+
+
+def _synthetic(args):
+    from srba_tpu.models.observations import CameraCalib, StereoCalib
+    from srba_tpu.utils.datasets import (make_graph_slam_dataset,
+                                         make_world_loop_2d,
+                                         make_world_loop_3d, observe)
+
+    if args.synthetic in ("graphslam2d", "graphslam3d"):
+        world = (make_world_loop_2d(args.num_kfs, 10.0, 1, args.seed)
+                 if args.synthetic.endswith("2d")
+                 else make_world_loop_3d(args.num_kfs, 10.0, 1,
+                                         seed=args.seed))
+        ds = make_graph_slam_dataset(world, noise_std=args.noise_std,
+                                     odo_noise_std=args.odo_noise_std,
+                                     loop_closure_range=4.0, seed=args.seed)
+        return world, ds, ds.obs_model
+    world = (make_world_loop_2d(args.num_kfs, 10.0, args.num_landmarks,
+                                args.seed)
+             if args.synthetic == "loop2d"
+             else make_world_loop_3d(args.num_kfs, 10.0, args.num_landmarks,
+                                     seed=args.seed))
+    calib = None
+    if args.obs == "MonocularCamera":
+        calib = CameraCalib.make(args.fx, args.fy, args.cx, args.cy)
+    elif args.obs == "StereoCamera":
+        calib = StereoCalib.make(args.fx, args.fy, args.cx, args.cy,
+                                 args.baseline)
+    ds = observe(world, args.obs, calib=calib, noise_std=args.noise_std,
+                 sensor_range=8.0, odo_noise_std=args.odo_noise_std,
+                 seed=args.seed)
+    return world, ds, args.obs
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from srba_tpu.engine.engine import Observation
+    from srba_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from srba_tpu.io.dataset_io import (load_dataset, load_ground_truth,
+                                        save_dataset, save_ground_truth)
+    from srba_tpu.utils.datasets import ate_rmse
+
+    world = None
+    gt_poses = None
+    if args.synthetic:
+        world, ds, obs_model = _synthetic(args)
+        frames, odometry = ds.frames, list(ds.odometry)
+        gt_poses = world.gt_poses
+        if args.save_dataset:
+            save_dataset(ds, args.save_dataset)
+            save_ground_truth(world, args.save_dataset + ".gt")
+            print(f"dataset written to {args.save_dataset}", file=sys.stderr)
+    elif args.dataset:
+        obs_model, frames, odometry = load_dataset(args.dataset)
+        if not obs_model:
+            obs_model = args.obs
+    else:
+        print("error: need --dataset or --synthetic", file=sys.stderr)
+        return 2
+    if args.gt_path:
+        gt_poses = load_ground_truth(args.gt_path)
+
+    if args.resume_checkpoint:
+        eng = load_checkpoint(args.resume_checkpoint)
+        start = eng.num_keyframes
+        print(f"resumed at kf {start}", file=sys.stderr)
+    else:
+        eng = _make_engine(args, obs_model)
+        start = 0
+
+    t0 = time.perf_counter()
+    for k in range(start, len(frames)):
+        obs = [Observation(lm_id=m, z=z) for m, z in frames[k]]
+        edge_init = None
+        if k > 0 and odometry[k - 1] is not None:
+            edge_init = {k - 1: odometry[k - 1]}
+        info = eng.define_new_keyframe(
+            obs, run_local_optimization=not args.no_local_opt,
+            edge_init=edge_init)
+        if args.step_by_step:
+            print(f"kf {k}: edges+={len(info.created_edge_ids)} "
+                  f"{info.optimize_results}", file=sys.stderr)
+    wall = time.perf_counter() - t0
+
+    summary = {
+        "num_kfs": eng.num_keyframes,
+        "num_landmarks": eng.num_landmarks,
+        "num_edges": eng.state.num_edges,
+        "num_obs": eng.state.num_obs,
+        "wall_s": round(wall, 3),
+        "kf_per_sec": round((eng.num_keyframes - start) / max(wall, 1e-9), 2),
+        "overall_sq_error": round(eng.eval_overall_squared_error(), 6),
+    }
+    if gt_poses is not None:
+        G, _ = eng.create_complete_spanning_tree(0)
+        d = 2 if eng.group.name == "SE2" else 3
+        n = min(len(G), len(gt_poses))
+        summary["ate_rmse"] = round(ate_rmse(G[:n, :d], gt_poses[:n, :d]), 6)
+
+    if args.save_checkpoint:
+        save_checkpoint(eng, args.save_checkpoint)
+    if args.export_dot:
+        from srba_tpu.io.export import save_graph_as_dot
+        save_graph_as_dot(eng, args.export_dot)
+    if args.export_g2o:
+        from srba_tpu.io.export import save_graphslam_g2o
+        save_graphslam_g2o(eng, args.export_g2o)
+    if args.export_ply or args.export_scene_json:
+        from srba_tpu.io.export import (build_opengl_representation,
+                                        save_scene_json, save_scene_ply)
+        scene = build_opengl_representation(eng)
+        if args.export_ply:
+            save_scene_ply(scene, args.export_ply)
+        if args.export_scene_json:
+            save_scene_json(scene, args.export_scene_json)
+    if args.profile_stats:
+        print(eng.profiler.report(), file=sys.stderr)
+
+    if args.json:
+        print(json.dumps(summary))
+    else:
+        for k, v in summary.items():
+            print(f"{k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,7 +45,7 @@ class SrbaParams:
     kernel_param: float = 3.0
     verbose: int = 0
     # LM solver knobs
-    max_iters: int = 12
+    max_iters: int = 20
     lam0: float = 1e-4
     rel_tol: float = 1e-6
 
@@ -175,10 +175,28 @@ class SrbaEngine:
             with prof.scope("ecp"):
                 targets = self.ecp.edges_for_new_kf(
                     self.state, self.graph, kf_id, known_lms)
+                G_cache = None
                 for t in targets:
-                    init = self.np_group.identity()
                     if edge_init is not None and t in edge_init:
                         init = np.asarray(edge_init[t], np.float32)
+                    elif self.graph.neighbors(kf_id):
+                        # Additional edge (area link or loop closure) with no
+                        # explicit init: identity would start LM arbitrarily
+                        # far off (the target may be physically distant even
+                        # when few hops away via the center chain).  Seed
+                        # from the current global estimate — one complete-ST
+                        # compose, paid only when such an edge is created.
+                        if G_cache is None:
+                            G_cache = self.create_complete_spanning_tree(0)
+                        G, dist = G_cache
+                        if kf_id in dist and t in dist:
+                            init = np.asarray(self.np_group.compose(
+                                self.np_group.inverse(G[kf_id]), G[t]),
+                                np.float32)
+                        else:
+                            init = self.np_group.identity()
+                    else:
+                        init = self.np_group.identity()
                     e = self.state.add_edge(kf_id, t, init)
                     self.graph.add_edge(kf_id, t)
                     info.created_edge_ids.append(e)

@@ -77,7 +77,7 @@ class SolverConfig:
     use_sensor_pose: bool = False
     use_robust_kernel: bool = False
     kernel_param: float = 1.0
-    max_iters: int = 12
+    max_iters: int = 20
     lam0: float = 1e-4
     lam_up: float = 10.0
     lam_down: float = 0.1
@@ -85,7 +85,10 @@ class SolverConfig:
     lam_max: float = 1e8
     rel_tol: float = 1e-6
     diag_floor: float = 1e-8
-    max_consec_rejects: int = 3
+    # Enough consecutive rejects for lambda to climb ~6 decades before
+    # giving up — 3 was observed to strand hard loop-closure windows with
+    # the step still too long (err frozen at init).
+    max_consec_rejects: int = 6
     # SPMD: name of the mesh axis observations are sharded over (psum of
     # partial normal equations rides this axis); None = single-device.
     axis_name: Optional[str] = None

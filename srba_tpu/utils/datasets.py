@@ -45,13 +45,17 @@ class SlamDataset:
 
 
 def make_world_loop_2d(num_kfs: int = 100, radius: float = 10.0,
-                       num_landmarks: int = 150, seed: int = 0) -> World:
+                       num_landmarks: int = 150, seed: int = 0,
+                       revolutions: float = 1.0) -> World:
     """Circular loop trajectory (robot faces along the tangent) with
-    landmarks scattered in an annulus around the path."""
+    landmarks scattered in an annulus around the path.  ``revolutions > 1``
+    makes the robot revisit the same places (loop-closure scenarios)."""
     rng = np.random.default_rng(seed)
-    ang = np.linspace(0.0, 2.0 * np.pi, num_kfs, endpoint=False)
+    ang = np.linspace(0.0, 2.0 * np.pi * revolutions, num_kfs,
+                      endpoint=False)
     gt = np.stack(
-        [radius * np.cos(ang), radius * np.sin(ang), ang + np.pi / 2],
+        [radius * np.cos(ang), radius * np.sin(ang),
+         np.arctan2(np.cos(ang), -np.sin(ang))],
         axis=-1).astype(np.float32)
     r = rng.uniform(radius * 0.5, radius * 1.5, num_landmarks)
     th = rng.uniform(0, 2 * np.pi, num_landmarks)

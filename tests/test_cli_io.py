@@ -1,0 +1,178 @@
+"""CLI, dataset file I/O, checkpoint/resume, exporters, and local-areas ECP
+loop closures (reference analogs: ``srba-slam`` app behavior, SURVEY.md §4.3
+and §6)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from srba_tpu import Observation, SrbaEngine, SrbaParams
+from srba_tpu.cli import main as cli_main
+from srba_tpu.ecps import LocalAreasFixedGrid
+from srba_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from srba_tpu.io.dataset_io import (load_dataset, load_ground_truth,
+                                    save_dataset, save_ground_truth)
+from srba_tpu.utils.datasets import (ate_rmse, make_world_loop_2d, observe)
+
+
+def test_dataset_roundtrip(tmp_path):
+    world = make_world_loop_2d(num_kfs=10, radius=6.0, num_landmarks=30,
+                               seed=1)
+    ds = observe(world, "RangeBearing2D", noise_std=0.01, sensor_range=5.0,
+                 odo_noise_std=0.01, seed=1)
+    p = tmp_path / "ds.txt"
+    save_dataset(ds, str(p))
+    save_ground_truth(world, str(p) + ".gt")
+    model, frames, odometry = load_dataset(str(p))
+    assert model == "RangeBearing2D"
+    assert len(frames) == 10
+    for k in range(10):
+        assert len(frames[k]) == len(ds.frames[k])
+        for (m1, z1), (m2, z2) in zip(frames[k], ds.frames[k]):
+            assert m1 == m2
+            np.testing.assert_allclose(z1, z2, rtol=1e-6)
+    for a, b in zip(odometry, ds.odometry):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    gt = load_ground_truth(str(p) + ".gt")
+    np.testing.assert_allclose(gt, world.gt_poses, rtol=1e-6)
+
+
+def _run_small(params=None, n=12):
+    world = make_world_loop_2d(num_kfs=n, radius=6.0, num_landmarks=40,
+                               seed=2)
+    ds = observe(world, "RangeBearing2D", noise_std=0.005, sensor_range=5.0,
+                 odo_noise_std=0.01, seed=2)
+    eng = SrbaEngine("RangeBearing2D", params=params or SrbaParams(
+        max_tree_depth=3, max_optimize_depth=3))
+    for k, frame in enumerate(ds.frames):
+        eng.define_new_keyframe(
+            [Observation(lm_id=m, z=z) for m, z in frame],
+            edge_init={k - 1: ds.odometry[k - 1]} if k > 0 else None)
+    return eng, world, ds
+
+
+class TestCheckpoint:
+    def test_roundtrip_and_resume(self, tmp_path):
+        eng, world, ds = _run_small()
+        p = str(tmp_path / "ck.npz")
+        save_checkpoint(eng, p)
+        eng2 = load_checkpoint(p)
+        st1, st2 = eng.state, eng2.state
+        assert st2.num_kfs == st1.num_kfs
+        assert st2.num_edges == st1.num_edges
+        np.testing.assert_allclose(st2.edge_poses, st1.edge_poses)
+        np.testing.assert_allclose(st2.landmark_states, st1.landmark_states)
+        assert eng2._lm_id_map == eng._lm_id_map
+        # Resumed engine keeps working: add another keyframe.
+        frame_obs = [Observation(lm_id=m, z=z) for m, z in ds.frames[-1]]
+        info = eng2.define_new_keyframe(frame_obs)
+        assert info.kf_id == st1.num_kfs
+        assert "err_final" in info.optimize_results
+
+    def test_eval_matches_after_reload(self, tmp_path):
+        eng, _, _ = _run_small()
+        p = str(tmp_path / "ck.npz")
+        save_checkpoint(eng, p)
+        eng2 = load_checkpoint(p)
+        assert eng2.eval_overall_squared_error() == pytest.approx(
+            eng.eval_overall_squared_error(), rel=1e-5)
+
+
+class TestLocalAreasECP:
+    def test_two_revolutions_create_loop_closures(self):
+        """Second pass around the loop re-observes landmarks based in the
+        first pass's areas -> votes -> edges to earlier area centers."""
+        world = make_world_loop_2d(num_kfs=40, radius=6.0, num_landmarks=80,
+                                   seed=3, revolutions=2.0)
+        ds = observe(world, "RangeBearing2D", noise_std=0.005,
+                     sensor_range=5.0, odo_noise_std=0.02, seed=3)
+        eng = SrbaEngine(
+            "RangeBearing2D",
+            ecp=LocalAreasFixedGrid(submap_size=5,
+                                    min_obs_count_loop_closure=3),
+            params=SrbaParams(max_tree_depth=4, max_optimize_depth=4))
+        for k, frame in enumerate(ds.frames):
+            eng.define_new_keyframe(
+                [Observation(lm_id=m, z=z) for m, z in frame],
+                edge_init={k - 1: ds.odometry[k - 1]} if k > 0 else None)
+        # Closures: edges whose endpoints are far apart in KF index.
+        st = eng.state
+        spans = [abs(int(st.k2k_from[e]) - int(st.k2k_to[e]))
+                 for e in range(st.num_edges)]
+        assert max(spans) > 10, f"expected loop-closure edges, spans={spans}"
+        G, _ = eng.create_complete_spanning_tree(0)
+        assert ate_rmse(G[:, :2], world.gt_poses[:, :2]) < 0.4
+
+
+class TestCLI:
+    def test_synthetic_run_json(self, capsys):
+        rc = cli_main([
+            "--synthetic", "loop2d", "--num-kfs", "12", "--num-landmarks",
+            "40", "--noise-std", "0.005", "--max-tree-depth", "3",
+            "--max-optimize-depth", "3", "--json",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        summary = json.loads(out)
+        assert summary["num_kfs"] == 12
+        assert summary["ate_rmse"] < 0.5
+        assert summary["kf_per_sec"] > 0
+
+    def test_dataset_file_run_with_exports(self, tmp_path, capsys):
+        ds_path = str(tmp_path / "ds.txt")
+        rc = cli_main([
+            "--synthetic", "loop2d", "--num-kfs", "10", "--num-landmarks",
+            "30", "--save-dataset", ds_path, "--max-tree-depth", "3",
+            "--max-optimize-depth", "3", "--json",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        dot = str(tmp_path / "g.dot")
+        g2o = str(tmp_path / "g.g2o")
+        ck = str(tmp_path / "ck.npz")
+        rc = cli_main([
+            "--dataset", ds_path, "--gt-path", ds_path + ".gt",
+            "--max-tree-depth", "3", "--max-optimize-depth", "3",
+            "--export-dot", dot, "--export-g2o", g2o,
+            "--save-checkpoint", ck, "--json",
+        ])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["num_kfs"] == 10
+        assert "ate_rmse" in summary
+        assert os.path.exists(dot) and os.path.exists(g2o)
+        eng = load_checkpoint(ck)
+        assert eng.num_keyframes == 10
+
+    def test_graphslam_synthetic(self, capsys):
+        rc = cli_main([
+            "--synthetic", "graphslam2d", "--num-kfs", "15",
+            "--odo-noise-std", "0.03", "--max-tree-depth", "3",
+            "--max-optimize-depth", "3", "--json",
+        ])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["ate_rmse"] < 0.3
+
+    def test_missing_input_errors(self, capsys):
+        rc = cli_main(["--json"])
+        assert rc == 2
+
+    def test_subprocess_entry(self, tmp_path):
+        """The CLI works as `python -m srba_tpu.cli` in a fresh process."""
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        out = subprocess.run(
+            [sys.executable, "-m", "srba_tpu.cli", "--synthetic", "loop2d",
+             "--num-kfs", "8", "--num-landmarks", "25", "--max-tree-depth",
+             "3", "--max-optimize-depth", "3", "--json"],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=300)
+        assert out.returncode == 0, out.stderr[-2000:]
+        summary = json.loads(out.stdout.strip().splitlines()[-1])
+        assert summary["num_kfs"] == 8
