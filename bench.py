@@ -35,6 +35,9 @@ def run_once(ds, report_profile=False):
         obs = [Observation(lm_id=m, z=z) for m, z in frame]
         edge_init = {k - 1: ds.odometry[k - 1]} if k > 0 else None
         eng.define_new_keyframe(obs, edge_init=edge_init)
+    # Final fence: the device-master path is fully async (nothing downloaded
+    # per keyframe), so drain the device queue before stopping the clock.
+    eng.sync()
     dt = time.perf_counter() - t0
     if report_profile:
         print(eng.profiler.report(), file=sys.stderr)

@@ -1,0 +1,226 @@
+"""DeviceMaster — persistent device-resident copies of the pose/landmark
+unknowns, with staged appends and zero-download per-keyframe stepping.
+
+See :mod:`srba_tpu.solver.master` for the rationale (the ~28 ms tunnel RTT
+per synchronization measured on the session TPU).  This class owns:
+
+* the padded master arrays (power-of-two capacity, grown on device),
+* the staging queues of new edge/landmark rows created since the last
+  device dispatch,
+* the lazily synchronized host mirror (``sync_to_host``).
+
+The reference keeps all numeric state in host STL containers
+(``TRBA_Problem_state`` in ``include/srba/srba_types.h``, public MRPT/srba
+layout); here the device is authoritative between keyframes and the host
+mirror is refreshed only for export/eval/checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from srba_tpu.solver.master import (INFO_KEYS, grow_master, make_append_only,
+                                    make_master_step, pack_window_ints)
+
+
+def _bucket_pow2(n: int, minimum: int) -> int:
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+class LazyInfo(dict):
+    """``TOptimizeExtraOutputInfo``-style dict whose values stay on device
+    until first read — reading any value costs one tunnel round-trip, so the
+    steady-state per-keyframe loop never pays it."""
+
+    def __init__(self, dev_info):
+        super().__init__()
+        self._dev = dev_info
+
+    def _fetch(self):
+        if self._dev is not None:
+            import jax
+            vals = jax.device_get(self._dev)
+            for k, v in vals.items():
+                super().__setitem__(k, float(v))
+            self._dev = None
+
+    def __getitem__(self, k):
+        self._fetch()
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        self._fetch()
+        return super().get(k, default)
+
+    def __contains__(self, k):
+        return k in INFO_KEYS if self._dev is not None \
+            else super().__contains__(k)
+
+    def keys(self):
+        return iter(INFO_KEYS) if self._dev is not None else super().keys()
+
+    def items(self):
+        self._fetch()
+        return super().items()
+
+    def values(self):
+        self._fetch()
+        return super().values()
+
+    def __iter__(self):
+        return self.keys()
+
+    def __len__(self):
+        return len(INFO_KEYS) if self._dev is not None else super().__len__()
+
+    def __repr__(self):
+        self._fetch()  # repr is a debug path; users want numbers
+        return dict.__repr__(self)
+
+
+class DeviceMaster:
+    """Device-authoritative master arrays + staging + jit-dispatch frontend."""
+
+    # Generous initial capacities: growth recompiles the step program
+    # (10-40 s each on the tunneled TPU), so start big — a few MB of HBM
+    # buys away almost all growth events.
+    INIT_EDGE_CAP = 4096
+    INIT_LM_CAP = 16384
+    PAD_E_MIN = 8
+    PAD_L_MIN = 64
+
+    def __init__(self, pose_dim: int, lm_dim: int):
+        import jax.numpy as jnp
+
+        self.pose_dim = pose_dim
+        self.lm_dim = lm_dim
+        self.pose = jnp.zeros((self.INIT_EDGE_CAP, pose_dim), jnp.float32)
+        self.lm = jnp.zeros((self.INIT_LM_CAP, lm_dim), jnp.float32)
+        self.num_edges = 0          # rows materialized on device
+        self.num_lms = 0
+        self._pend_edges: List[np.ndarray] = []
+        self._pend_lms: List[np.ndarray] = []
+        self._append_fn = make_append_only(pose_dim, lm_dim)
+        self.dirty = False          # device ahead of host mirror
+        # Device-resident per-engine operands (uploaded once on first step).
+        self._whitener_dev = None
+        self._spinv_dev = None
+        self._calib_dev = None
+
+    # -- staging -------------------------------------------------------------
+
+    def stage_edge(self, pose_row: np.ndarray) -> None:
+        self._pend_edges.append(np.asarray(pose_row, np.float32))
+
+    def stage_landmark(self, lm_row: np.ndarray) -> None:
+        self._pend_lms.append(np.asarray(lm_row, np.float32))
+
+    def _take_staging(self) -> Tuple[np.ndarray, np.ndarray, int, int]:
+        """Pack pending rows into one padded f32 buffer + offsets; advance
+        the device row counts.  Pad rows repeat the last real row (or zeros)
+        — they land in not-yet-allocated slots and get overwritten by the
+        next append before any gather can reach them."""
+        n_e, n_l = len(self._pend_edges), len(self._pend_lms)
+        pad_e = _bucket_pow2(max(n_e, 1), self.PAD_E_MIN)
+        pad_l = _bucket_pow2(max(n_l, 1), self.PAD_L_MIN)
+        rows = np.zeros(pad_e * self.pose_dim + pad_l * self.lm_dim,
+                        np.float32)
+        if n_e:
+            rows[: n_e * self.pose_dim] = np.concatenate(
+                [r.ravel() for r in self._pend_edges])
+        if n_l:
+            base = pad_e * self.pose_dim
+            rows[base: base + n_l * self.lm_dim] = np.concatenate(
+                [r.ravel() for r in self._pend_lms])
+        offsets = np.asarray([self.num_edges, self.num_lms], np.int32)
+        self._ensure_capacity(self.num_edges + pad_e, self.num_lms + pad_l)
+        self.num_edges += n_e
+        self.num_lms += n_l
+        self._pend_edges.clear()
+        self._pend_lms.clear()
+        return rows, offsets, pad_e, pad_l
+
+    def _ensure_capacity(self, n_edges: int, n_lms: int) -> None:
+        ecap = self.pose.shape[0]
+        if n_edges > ecap:
+            while ecap < n_edges:
+                ecap *= 4
+            self.pose = grow_master(self.pose, ecap)
+        lcap = self.lm.shape[0]
+        if n_lms > lcap:
+            while lcap < n_lms:
+                lcap *= 4
+            self.lm = grow_master(self.lm, lcap)
+
+    # -- dispatch ------------------------------------------------------------
+
+    def flush_append(self) -> None:
+        """Append staged rows without optimizing (first KF / opt disabled)."""
+        if not self._pend_edges and not self._pend_lms:
+            return
+        rows, offsets, pad_e, pad_l = self._take_staging()
+        self.pose, self.lm = self._append_fn(
+            self.pose, self.lm, rows, offsets, pad_e, pad_l)
+
+    def step(self, cfg, whitener, sensor_pose_inv, calib,
+             edge_ids, edge_opt, lm_ids, lm_opt, obs_lm, obs_valid,
+             path_edge, path_sign, obs_z) -> LazyInfo:
+        """Append staged rows + solve one window, all in one dispatch."""
+        import jax.numpy as jnp
+
+        rows, offsets, pad_e, pad_l = self._take_staging()
+        ints = pack_window_ints(edge_ids, edge_opt, lm_ids, lm_opt,
+                                obs_lm, obs_valid, path_edge, path_sign)
+        if self._whitener_dev is None:
+            import jax
+            self._whitener_dev = jnp.asarray(whitener, jnp.float32)
+            self._spinv_dev = jnp.asarray(sensor_pose_inv, jnp.float32)
+            self._calib_dev = jax.tree.map(jnp.asarray, calib)
+        fn = make_master_step(cfg)  # global per-config executable cache
+        E, L, N = len(edge_ids), len(lm_ids), len(obs_lm)
+        self.pose, self.lm, info = fn(
+            self.pose, self.lm, jnp.asarray(rows), jnp.asarray(offsets),
+            jnp.asarray(ints), jnp.asarray(obs_z),
+            self._whitener_dev, self._spinv_dev, self._calib_dev,
+            E, L, N, pad_e, pad_l)
+        self.dirty = True
+        return LazyInfo(info)
+
+    # -- host mirror -----------------------------------------------------------
+
+    def sync_to_host(self, k2k_pose: np.ndarray, lm_state: np.ndarray) -> None:
+        """Refresh the host mirror in place (ONE ~28 ms round-trip)."""
+        if not self.dirty:
+            return
+        import jax
+        pose, lm = jax.device_get((self.pose, self.lm))
+        n_e, n_l = self.num_edges, self.num_lms
+        k2k_pose[:n_e] = pose[:n_e]
+        lm_state[:n_l] = lm[:n_l]
+        self.dirty = False
+
+    def upload_from_host(self, k2k_pose: np.ndarray, lm_state: np.ndarray,
+                         num_edges: int, num_lms: int) -> None:
+        """Replace device state wholesale (checkpoint load / rebuild)."""
+        import jax.numpy as jnp
+
+        self._pend_edges.clear()
+        self._pend_lms.clear()
+        self.num_edges = num_edges
+        self.num_lms = num_lms
+        ecap = max(self.INIT_EDGE_CAP,
+                   _bucket_pow2(num_edges + self.PAD_E_MIN, self.INIT_EDGE_CAP))
+        lcap = max(self.INIT_LM_CAP,
+                   _bucket_pow2(num_lms + self.PAD_L_MIN, self.INIT_LM_CAP))
+        pose = np.zeros((ecap, self.pose_dim), np.float32)
+        pose[:num_edges] = k2k_pose[:num_edges]
+        lm = np.zeros((lcap, self.lm_dim), np.float32)
+        lm[:num_lms] = lm_state[:num_lms]
+        self.pose = jnp.asarray(pose)
+        self.lm = jnp.asarray(lm)
+        self.dirty = False

@@ -21,6 +21,7 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 from srba_tpu.ecps import ClassicLinearRBA
+from srba_tpu.engine.device_master import DeviceMaster
 from srba_tpu.engine.state import ProblemState
 from srba_tpu.graph.spantree import KeyframeGraph
 from srba_tpu.models.landmarks import (LANDMARK_TYPES, Euclidean2D,
@@ -86,6 +87,7 @@ class SrbaEngine:
         calib: Any = None,
         params: Optional[SrbaParams] = None,
         dtype=np.float32,
+        device_master: bool = True,
     ):
         self.model = OBSERVATION_MODELS[obs_model]
         self.group = self.model.pose_group
@@ -111,6 +113,13 @@ class SrbaEngine:
             z_dim=self.model.z_dim,
         )
         self.graph = KeyframeGraph(self.parameters.max_tree_depth)
+        # Device-resident master state (M3): the authoritative copy of edge
+        # poses and landmark states lives on device; the host numpy tables
+        # above become a lazily refreshed mirror.  Avoids the ~28 ms tunnel
+        # round-trip per keyframe that downloading optimized windows costs.
+        self.device_master = (
+            DeviceMaster(self.group.dim, self.lm_type.dim)
+            if device_master else None)
 
         self._whitener = np.asarray(
             self.noise.whitener(self.model.obs_dim), np.float32)
@@ -146,6 +155,31 @@ class SrbaEngine:
             rel_tol=self.parameters.rel_tol,
         )
         self._eval_fn = None  # built lazily (see eval_overall_squared_error)
+
+    # ------------------------------------------------------------------
+    # Internal: state mutation + device staging
+    # ------------------------------------------------------------------
+
+    def _add_edge(self, from_kf: int, to_kf: int, pose: np.ndarray) -> int:
+        e = self.state.add_edge(from_kf, to_kf, pose)
+        if self.device_master is not None:
+            self.device_master.stage_edge(pose)
+        return e
+
+    def _add_landmark(self, base_kf: int, st: np.ndarray,
+                      fixed: bool = False) -> int:
+        l = self.state.add_landmark(base_kf, st, fixed=fixed)
+        if self.device_master is not None:
+            self.device_master.stage_landmark(st)
+        return l
+
+    def sync(self) -> None:
+        """Refresh the host mirror of edge poses / landmark states from the
+        device master (one tunnel round-trip; no-op when clean or when the
+        device-master path is disabled)."""
+        if self.device_master is not None:
+            self.device_master.sync_to_host(self.state.k2k_pose,
+                                            self.state.lm_state)
 
     # ------------------------------------------------------------------
     # Core per-frame API
@@ -197,7 +231,7 @@ class SrbaEngine:
                             init = self.np_group.identity()
                     else:
                         init = self.np_group.identity()
-                    e = self.state.add_edge(kf_id, t, init)
+                    e = self._add_edge(kf_id, t, init)
                     self.graph.add_edge(kf_id, t)
                     info.created_edge_ids.append(e)
 
@@ -216,7 +250,7 @@ class SrbaEngine:
                         if self.graph.path(
                                 kf_id, j,
                                 self.parameters.max_tree_depth) is None:
-                            e = self.state.add_edge(
+                            e = self._add_edge(
                                 kf_id, j, np.asarray(o.z, np.float32))
                             self.graph.add_edge(kf_id, j)
                             info.created_edge_ids.append(e)
@@ -237,6 +271,10 @@ class SrbaEngine:
                 with prof.scope("optimize_local_area"):
                     info.optimize_results = self.optimize_local_area(
                         kf_id, self.parameters.max_optimize_depth)
+            elif self.device_master is not None:
+                # No solve this frame: still push staged rows to the device
+                # masters so they stay authoritative.
+                self.device_master.flush_append()
         if self.parameters.verbose >= 1:
             print(f"[srba] kf={kf_id} edges+={len(info.created_edge_ids)} "
                   f"opt={info.optimize_results}")
@@ -258,7 +296,7 @@ class SrbaEngine:
             # constrains the spanning-tree path of kf2kf edges between
             # observer and j (the problem degenerates to a relative
             # pose-graph; SURVEY.md §1.1).
-            internal = self.state.add_landmark(
+            internal = self._add_landmark(
                 lm_id, np.asarray(self.np_group.identity(), np.float32),
                 fixed=True)
             self._lm_id_map[lm_id] = internal
@@ -266,10 +304,10 @@ class SrbaEngine:
             # New landmark: allocate with base = observing KF.
             if fixed_rel_pos is not None:
                 st = np.asarray(fixed_rel_pos, np.float32)
-                internal = self.state.add_landmark(kf_id, st, fixed=True)
+                internal = self._add_landmark(kf_id, st, fixed=True)
             else:
                 st = self._init_landmark(z, init_rel_pos)
-                internal = self.state.add_landmark(kf_id, st, fixed=False)
+                internal = self._add_landmark(kf_id, st, fixed=False)
             self._lm_id_map[lm_id] = internal
         return self.state.add_observation(kf_id, internal, z)
 
@@ -328,13 +366,29 @@ class SrbaEngine:
 
         depth = (win_size if win_size is not None
                  else self.parameters.max_optimize_depth)
+        master = self.device_master
         with self.profiler.scope("window_build"):
             built = build_window(
                 self.state, self.graph, root_kf, depth,
-                self.parameters.max_tree_depth)
+                self.parameters.max_tree_depth,
+                gather_floats=master is None)
         if built is None:
+            if master is not None:
+                master.flush_append()
             return {"skipped": 1.0}
         arrays, plan = built
+
+        if master is not None:
+            # Device-master fast path (M3): append staged rows + gather +
+            # LM+Schur + scatter-back in ONE async dispatch; nothing is
+            # downloaded (info values are fetched lazily on first access).
+            with self.profiler.scope("device_step"):
+                return master.step(
+                    self._solver_cfg, self._whitener, self._sensor_pose_inv,
+                    self.calib,
+                    arrays.edge_gids, arrays.edge_opt, arrays.lm_gids,
+                    arrays.lm_opt, arrays.obs_lm, arrays.obs_valid,
+                    arrays.path_edge, arrays.path_sign, arrays.obs_z)
 
         with self.profiler.scope("device_solve"):
             batch = WindowBatch(
@@ -386,6 +440,7 @@ class SrbaEngine:
         ``root`` over the full BFS tree (reference
         ``create_complete_spanning_tree`` / ``bfs_visitor``; global poses are
         derived products, never state — SURVEY.md §1.3)."""
+        self.sync()
         dist, parent = self.graph.complete_spanning_tree(root)
         G = np.zeros((self.state.num_kfs, self.group.dim), np.float32)
         G[root] = self.np_group.identity()
@@ -421,6 +476,7 @@ class SrbaEngine:
         ``eval_overall_squared_error``)."""
         if self.state.num_obs == 0:
             return 0.0
+        self.sync()
         import jax
         import jax.numpy as jnp
 
@@ -462,7 +518,8 @@ class SrbaEngine:
 
     def get_rba_state(self) -> ProblemState:
         """Read-only access to the SoA problem state (reference
-        ``get_rba_state``)."""
+        ``get_rba_state``).  Syncs the host mirror first."""
+        self.sync()
         return self.state
 
     # Number shortcuts

@@ -17,6 +17,7 @@ CHECKPOINT_VERSION = 1
 
 
 def save_checkpoint(engine, path: str) -> None:
+    engine.sync()  # device master is authoritative between keyframes
     st = engine.state
     meta = {
         "version": CHECKPOINT_VERSION,
@@ -77,4 +78,9 @@ def load_checkpoint(path: str, calib=None, noise=None, sensor_pose=None,
         st.add_observation(int(data["obs_kf"][o]), int(data["obs_lm"][o]),
                            data["obs_z"][o])
     eng._lm_id_map = {int(k): v for k, v in meta["lm_id_map"].items()}
+    if eng.device_master is not None:
+        # The loop above wrote the host tables directly; replace the device
+        # masters wholesale (one upload).
+        eng.device_master.upload_from_host(
+            st.k2k_pose, st.lm_state, st.num_edges, st.num_lms)
     return eng

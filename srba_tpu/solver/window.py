@@ -47,7 +47,15 @@ class WindowPlan:
 @dataclass
 class WindowArrays:
     """Raw padded numpy arrays for a window (converted to a device
-    ``WindowBatch`` by the engine, which attaches whitener/calib)."""
+    ``WindowBatch`` by the engine, which attaches whitener/calib).
+
+    ``edge_gids``/``lm_gids`` are the padded GLOBAL id arrays used by the
+    device-master path (gather/scatter indices into the master arrays);
+    padding slots carry id 0 with ``*_opt == 0`` so masked scatter-adds
+    contribute exact zeros.  ``edge_pose``/``lm_state`` are host-gathered
+    values — only filled for the host-window path (``gather_floats=True``);
+    the device-master path gathers from the device masters instead (the
+    host mirror may be stale there)."""
 
     edge_pose: np.ndarray
     edge_opt: np.ndarray
@@ -58,6 +66,8 @@ class WindowArrays:
     path_edge: np.ndarray
     path_sign: np.ndarray
     obs_valid: np.ndarray
+    edge_gids: np.ndarray = None
+    lm_gids: np.ndarray = None
 
 
 def build_window(
@@ -67,6 +77,7 @@ def build_window(
     max_optimize_depth: int,
     max_tree_depth: int,
     extra_obs_per_lm_cap: Optional[int] = None,
+    gather_floats: bool = True,
 ) -> Optional[tuple]:
     """Select the local optimization window around ``root_kf`` and build the
     padded arrays.  Returns ``(WindowArrays, WindowPlan)`` or ``None`` when
@@ -138,22 +149,30 @@ def build_window(
     obs_valid = np.zeros(N, np.float32)
 
     inv_ids = np.asarray(involved, np.int32)
-    edge_pose[:E_real] = state.k2k_pose[inv_ids]
-    # Pad slots hold identity-ish poses; for quaternion groups a zero pose is
-    # degenerate, so copy slot 0's pose into padding (masked anyway, but
-    # keeps compose/inverse well-conditioned).
-    if E_real < E:
-        edge_pose[E_real:] = edge_pose[0]
     opt_set = set(opt_edge_ids)
     edge_opt[:E_real] = [1.0 if e in opt_set else 0.0 for e in involved]
-
     lm_arr_ids = np.asarray(lm_ids_sorted, np.int32)
-    lm_state[:L_real] = state.lm_state[lm_arr_ids]
     lm_opt[:L_real] = (~state.lm_fixed[lm_arr_ids]).astype(np.float32)
-    if L_real < L:
-        # Valid-valued padding: all-zero rows are degenerate for pose
-        # landmarks (zero quaternion -> NaN through normalize/compose).
-        lm_state[L_real:] = lm_state[0]
+
+    # Padded GLOBAL ids for the device-master gather/scatter path (pad = 0,
+    # a valid allocated row, masked by *_opt == 0).
+    edge_gids = np.zeros(E, np.int32)
+    edge_gids[:E_real] = inv_ids
+    lm_gids = np.zeros(L, np.int32)
+    lm_gids[:L_real] = lm_arr_ids
+
+    if gather_floats:
+        edge_pose[:E_real] = state.k2k_pose[inv_ids]
+        # Pad slots hold identity-ish poses; for quaternion groups a zero
+        # pose is degenerate, so copy slot 0's pose into padding (masked
+        # anyway, but keeps compose/inverse well-conditioned).
+        if E_real < E:
+            edge_pose[E_real:] = edge_pose[0]
+        lm_state[:L_real] = state.lm_state[lm_arr_ids]
+        if L_real < L:
+            # Valid-valued padding: all-zero rows are degenerate for pose
+            # landmarks (zero quaternion -> NaN through normalize/compose).
+            lm_state[L_real:] = lm_state[0]
 
     for i, (o, steps) in enumerate(rows):
         obs_z[i] = state.obs_z[o]
@@ -166,7 +185,8 @@ def build_window(
         obs_z[N_real:] = obs_z[0]  # same degeneracy guard as above
 
     arrays = WindowArrays(edge_pose, edge_opt, lm_state, lm_opt, obs_z,
-                          obs_lm, path_edge, path_sign, obs_valid)
+                          obs_lm, path_edge, path_sign, obs_valid,
+                          edge_gids=edge_gids, lm_gids=lm_gids)
     plan = WindowPlan(
         edge_ids=inv_ids,
         edge_opt=edge_opt[:E_real].astype(bool),

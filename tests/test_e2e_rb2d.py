@@ -46,7 +46,7 @@ def test_noisy_beats_raw_edges(small_loop):
     ds = observe(world, "RangeBearing2D", noise_std=0.005, sensor_range=5.0,
                  odo_noise_std=0.03, seed=7)
     eng = _run(world, ds)
-    st = eng.state
+    st = eng.get_rba_state()  # syncs the host mirror from the device master
     err_opt, err_odo = [], []
     for e in range(st.num_edges):
         f, t = int(st.k2k_from[e]), int(st.k2k_to[e])
@@ -69,7 +69,7 @@ def test_landmark_estimates_near_gt(small_loop):
     ds = observe(world, "RangeBearing2D", noise_std=0.005, sensor_range=5.0,
                  odo_noise_std=0.02, seed=7)
     eng = _run(world, ds)
-    st = eng.state
+    st = eng.get_rba_state()
     errs = []
     for ext, internal in eng._lm_id_map.items():
         base = int(st.lm_base[internal])
@@ -103,4 +103,4 @@ def test_profiler_collects_stages(small_loop):
     eng = _run(world, ds)
     rep = eng.profiler.report()
     assert "define_new_keyframe" in rep
-    assert "device_solve" in rep
+    assert "device_step" in rep or "device_solve" in rep
