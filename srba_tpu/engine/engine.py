@@ -120,6 +120,18 @@ class SrbaEngine:
         self.device_master = (
             DeviceMaster(self.group.dim, self.lm_type.dim)
             if device_master else None)
+        # Native (C++) host graph service (M3): owns the per-keyframe window
+        # build on the hot path; the Python graph above keeps serving the
+        # public traversal APIs.  Falls back to Python when no toolchain.
+        self.native = None
+        if device_master:
+            try:
+                from srba_tpu.native import get_lib
+                if get_lib() is not None:
+                    from srba_tpu.native.core import NativeCore
+                    self.native = NativeCore(self.parameters.max_tree_depth)
+            except Exception:
+                self.native = None
 
         self._whitener = np.asarray(
             self.noise.whitener(self.model.obs_dim), np.float32)
@@ -164,6 +176,8 @@ class SrbaEngine:
         e = self.state.add_edge(from_kf, to_kf, pose)
         if self.device_master is not None:
             self.device_master.stage_edge(pose)
+        if self.native is not None:
+            self.native.add_edge(from_kf, to_kf)
         return e
 
     def _add_landmark(self, base_kf: int, st: np.ndarray,
@@ -171,6 +185,8 @@ class SrbaEngine:
         l = self.state.add_landmark(base_kf, st, fixed=fixed)
         if self.device_master is not None:
             self.device_master.stage_landmark(st)
+        if self.native is not None:
+            self.native.add_landmark(base_kf, fixed)
         return l
 
     def sync(self) -> None:
@@ -201,6 +217,8 @@ class SrbaEngine:
             with prof.scope("alloc"):
                 kf_id = self.state.add_keyframe()
                 self.graph.add_keyframe()
+                if self.native is not None:
+                    self.native.add_keyframe()
                 info.kf_id = kf_id
 
             known_lms = [self._lm_id_map[o.lm_id] for o in observations
@@ -309,6 +327,8 @@ class SrbaEngine:
                 st = self._init_landmark(z, init_rel_pos)
                 internal = self._add_landmark(kf_id, st, fixed=False)
             self._lm_id_map[lm_id] = internal
+        if self.native is not None:
+            self.native.add_observation(kf_id, internal)
         return self.state.add_observation(kf_id, internal, z)
 
     def _batch_landmark_inits(self, observations) -> Dict[int, np.ndarray]:
@@ -368,10 +388,15 @@ class SrbaEngine:
                  else self.parameters.max_optimize_depth)
         master = self.device_master
         with self.profiler.scope("window_build"):
-            built = build_window(
-                self.state, self.graph, root_kf, depth,
-                self.parameters.max_tree_depth,
-                gather_floats=master is None)
+            if master is not None and self.native is not None:
+                built = self.native.build_window(
+                    self.state, root_kf, depth,
+                    self.parameters.max_tree_depth)
+            else:
+                built = build_window(
+                    self.state, self.graph, root_kf, depth,
+                    self.parameters.max_tree_depth,
+                    gather_floats=master is None)
         if built is None:
             if master is not None:
                 master.flush_append()

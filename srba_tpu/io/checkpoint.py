@@ -78,6 +78,19 @@ def load_checkpoint(path: str, calib=None, noise=None, sensor_pose=None,
         st.add_observation(int(data["obs_kf"][o]), int(data["obs_lm"][o]),
                            data["obs_z"][o])
     eng._lm_id_map = {int(k): v for k, v in meta["lm_id_map"].items()}
+    if eng.native is not None:
+        # Replay the symbolic structure into the C++ host graph service.
+        for _ in range(c["num_kfs"]):
+            eng.native.add_keyframe()
+        for e in range(c["num_edges"]):
+            eng.native.add_edge(int(data["k2k_from"][e]),
+                                int(data["k2k_to"][e]))
+        for l in range(c["num_lms"]):
+            eng.native.add_landmark(int(data["lm_base"][l]),
+                                    bool(data["lm_fixed"][l]))
+        for o in range(c["num_obs"]):
+            eng.native.add_observation(int(data["obs_kf"][o]),
+                                       int(data["obs_lm"][o]))
     if eng.device_master is not None:
         # The loop above wrote the host tables directly; replace the device
         # masters wholesale (one upload).

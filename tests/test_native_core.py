@@ -1,0 +1,125 @@
+"""C++ host graph service (M3): exact parity with the pure-Python
+spanning-tree / window-builder reference implementations on randomized
+append-only problem histories, plus end-to-end engine equivalence."""
+
+import numpy as np
+import pytest
+
+from srba_tpu.engine.state import ProblemState
+from srba_tpu.graph.spantree import KeyframeGraph
+from srba_tpu.native import get_lib
+from srba_tpu.solver.window import build_window
+
+pytestmark = pytest.mark.skipif(
+    get_lib() is None, reason="native toolchain unavailable")
+
+
+def _random_problem(seed, num_kfs=40, tree_depth=4):
+    """Grow a random SRBA-shaped problem: chain edges + random extra edges,
+    landmarks based at random KFs, observations from nearby KFs."""
+    from srba_tpu.native.core import NativeCore
+
+    rng = np.random.default_rng(seed)
+    st = ProblemState(pose_dim=3, lm_dim=2, z_dim=2)
+    g = KeyframeGraph(tree_depth)
+    nc = NativeCore(tree_depth)
+    num_lms = 0
+    for k in range(num_kfs):
+        st.add_keyframe()
+        g.add_keyframe()
+        nc.add_keyframe()
+        if k > 0:
+            pose = rng.normal(size=3).astype(np.float32)
+            st.add_edge(k, k - 1, pose)
+            g.add_edge(k, k - 1)
+            nc.add_edge(k, k - 1)
+        if k > 5 and rng.random() < 0.25:  # occasional loop closure
+            t = int(rng.integers(0, k - 3))
+            pose = rng.normal(size=3).astype(np.float32)
+            st.add_edge(k, t, pose)
+            g.add_edge(k, t)
+            nc.add_edge(k, t)
+        # new landmarks based here
+        for _ in range(int(rng.integers(1, 4))):
+            fixed = bool(rng.random() < 0.15)
+            st.add_landmark(k, rng.normal(size=2).astype(np.float32),
+                            fixed=fixed)
+            nc.add_landmark(k, fixed)
+            num_lms += 1
+        # observations of random existing landmarks
+        for _ in range(int(rng.integers(2, 8))):
+            lm = int(rng.integers(0, num_lms))
+            st.add_observation(k, lm, rng.normal(size=2).astype(np.float32))
+            nc.add_observation(k, lm)
+    return st, g, nc
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_path_parity(seed):
+    st, g, nc = _random_problem(seed)
+    rng = np.random.default_rng(seed + 100)
+    for _ in range(200):
+        a, b = rng.integers(0, st.num_kfs, size=2)
+        assert nc.path(int(a), int(b)) == g.path(int(a), int(b), 4)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_window_parity(seed):
+    st, g, nc = _random_problem(seed)
+    rng = np.random.default_rng(seed + 200)
+    roots = list(rng.integers(1, st.num_kfs, size=12)) + [st.num_kfs - 1]
+    for root in roots:
+        py = build_window(st, g, int(root), 3, 4, gather_floats=False)
+        nat = nc.build_window(st, int(root), 3, 4)
+        assert (py is None) == (nat is None), f"root={root}"
+        if py is None:
+            continue
+        pa, pp = py
+        na, np_ = nat
+        E, L, N = len(pp.edge_ids), len(pp.lm_ids), pp.num_obs
+        assert np_.num_obs == N
+        np.testing.assert_array_equal(np_.edge_ids, pp.edge_ids)
+        np.testing.assert_array_equal(np_.edge_opt, pp.edge_opt)
+        np.testing.assert_array_equal(np_.lm_ids, pp.lm_ids)
+        np.testing.assert_array_equal(np_.lm_opt, pp.lm_opt)
+        # Real-prefix window content (padding beyond N may differ in bucket
+        # size — native buckets are sticky-larger — but is masked).
+        np.testing.assert_array_equal(na.obs_lm[:N], pa.obs_lm[:N])
+        np.testing.assert_allclose(na.obs_z[:N], pa.obs_z[:N])
+        np.testing.assert_array_equal(na.path_edge[:N], pa.path_edge[:N])
+        np.testing.assert_allclose(na.path_sign[:N], pa.path_sign[:N])
+        np.testing.assert_allclose(na.obs_valid[:N], pa.obs_valid[:N])
+        assert float(na.obs_valid[N:].sum()) == 0.0
+        # Pad obs rows must be valid values (first real row), like window.py.
+        if na.obs_z.shape[0] > N:
+            np.testing.assert_allclose(
+                na.obs_z[N:],
+                np.tile(pa.obs_z[0], (na.obs_z.shape[0] - N, 1)))
+
+
+def test_engine_uses_native_and_matches_python():
+    from srba_tpu import Observation, SrbaEngine, SrbaParams
+    from srba_tpu.utils.datasets import make_world_loop_2d, observe
+
+    world = make_world_loop_2d(num_kfs=20, radius=8.0, num_landmarks=50,
+                               seed=9)
+    ds = observe(world, "RangeBearing2D", noise_std=0.005, sensor_range=6.0,
+                 odo_noise_std=0.01, seed=9)
+
+    def run(force_python_windows):
+        eng = SrbaEngine(
+            "RangeBearing2D",
+            params=SrbaParams(max_tree_depth=4, max_optimize_depth=4))
+        if force_python_windows:
+            eng.native = None
+        else:
+            assert eng.native is not None
+        for k, frame in enumerate(ds.frames):
+            obs = [Observation(lm_id=m, z=z) for m, z in frame]
+            edge_init = {k - 1: ds.odometry[k - 1]} if k > 0 else None
+            eng.define_new_keyframe(obs, edge_init=edge_init)
+        return eng.eval_overall_squared_error()
+
+    err_native = run(False)
+    err_python = run(True)
+    assert err_native == pytest.approx(err_python, rel=1e-3, abs=1e-8)
