@@ -7,10 +7,14 @@ SURVEY.md §3): ``ecps::classic_linear_rba``, ``ecps::local_areas_fixed_grid``,
 decisions gate the device work but never run on device.
 
 Policy contract: ``edges_for_new_kf(state, graph, new_kf, obs_lm_ids)``
-returns the list of existing-KF ids the new keyframe should be linked to
-(edges are created as ``(new_kf, target)``, pose unknown ``T_new<-target``).
-``obs_lm_ids`` are the landmark ids observed by the new KF that already exist
-in the map (the loop-closure evidence).
+returns ``(primary_targets, closure_targets)`` — existing-KF ids the new
+keyframe should be linked to (edges are created as ``(new_kf, target)``,
+pose unknown ``T_new<-target``).  ``primary`` links are topologically local
+(previous KF / own area center: the engine seeds their initial pose from the
+dead-reckoned trajectory, no device sync); ``closure`` links are re-visits of
+distant map areas (seeded from the optimized spanning tree).  ``obs_lm_ids``
+are the landmark ids observed by the new KF that already exist in the map
+(the loop-closure evidence).
 """
 
 from __future__ import annotations
@@ -31,8 +35,8 @@ class ClassicLinearRBA:
     name: str = "classic_linear_rba"
 
     def edges_for_new_kf(self, state: ProblemState, graph: KeyframeGraph,
-                         new_kf: int, obs_lm_ids: List[int]) -> List[int]:
-        return [new_kf - 1] if new_kf > 0 else []
+                         new_kf: int, obs_lm_ids: List[int]):
+        return ([new_kf - 1] if new_kf > 0 else []), []
 
 
 @dataclass
@@ -53,16 +57,16 @@ class LocalAreasFixedGrid:
         return (kf // self.submap_size) * self.submap_size
 
     def edges_for_new_kf(self, state: ProblemState, graph: KeyframeGraph,
-                         new_kf: int, obs_lm_ids: List[int]) -> List[int]:
+                         new_kf: int, obs_lm_ids: List[int]):
         if new_kf == 0:
-            return []
+            return [], []
         my_center = self.center_of(new_kf)
-        targets: List[int] = []
+        primary: List[int] = []
         if new_kf == my_center:
             # New area center: chain to the previous area's center.
-            targets.append(self.center_of(new_kf - 1))
+            primary.append(self.center_of(new_kf - 1))
         else:
-            targets.append(my_center)
+            primary.append(my_center)
 
         # Loop closures: count re-observed landmarks per foreign area center.
         votes: Counter = Counter()
@@ -71,11 +75,12 @@ class LocalAreasFixedGrid:
             c = self.center_of(base)
             if c != my_center:
                 votes[c] += 1
+        closures: List[int] = []
         for center, count in sorted(votes.items()):
             if count >= self.min_obs_count_loop_closure \
-                    and center not in targets and center != new_kf:
-                targets.append(center)
-        return targets
+                    and center not in primary and center != new_kf:
+                closures.append(center)
+        return primary, closures
 
 
 @dataclass
@@ -93,21 +98,22 @@ class LocalAreasVar1:
         return (kf // self.submap_size) * self.submap_size
 
     def edges_for_new_kf(self, state: ProblemState, graph: KeyframeGraph,
-                         new_kf: int, obs_lm_ids: List[int]) -> List[int]:
+                         new_kf: int, obs_lm_ids: List[int]):
         if new_kf == 0:
-            return []
-        targets = [new_kf - 1]  # always keep local chain connectivity
+            return [], []
+        primary = [new_kf - 1]  # always keep local chain connectivity
         votes: Counter = Counter()
         for lm in obs_lm_ids:
             c = self.center_of(int(state.lm_base[lm]))
             votes[c] += 1
         my_center = self.center_of(new_kf)
+        closures: List[int] = []
         for center, count in sorted(votes.items()):
-            if center == my_center or center in targets or center == new_kf:
+            if center == my_center or center in primary or center == new_kf:
                 continue
             if count >= self.min_obs_count_loop_closure:
-                targets.append(center)
-        return targets
+                closures.append(center)
+        return primary, closures
 
 
 ECPS = {

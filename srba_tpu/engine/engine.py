@@ -153,6 +153,9 @@ class SrbaEngine:
         # accepts arbitrary user landmark ids, like the reference's
         # observation lists keyed by feature id).
         self._lm_id_map: Dict[int, int] = {}
+        # Dead-reckoned global pose per KF (host, odometry-composed): seeds
+        # primary-link edge initials without device syncs.
+        self._G_dr: List[np.ndarray] = []
 
         self._solver_cfg = SolverConfig(
             obs_model=self.model.name,
@@ -225,33 +228,77 @@ class SrbaEngine:
                          if o.lm_id in self._lm_id_map]
 
             with prof.scope("ecp"):
-                targets = self.ecp.edges_for_new_kf(
+                out = self.ecp.edges_for_new_kf(
                     self.state, self.graph, kf_id, known_lms)
+                if isinstance(out, tuple):
+                    primary_targets, closure_targets = out
+                else:  # user policy returning a flat list: all primary
+                    primary_targets, closure_targets = list(out), []
+
+                # Dead-reckoned global estimate of the NEW keyframe, anchored
+                # by any provided edge_init (odometry) — used to seed
+                # primary-link edges without any device sync even when the
+                # odometry keyframe is not itself a target (local-areas
+                # center links).
+                G_dr_new = None
+                if edge_init:
+                    for t0, e0 in edge_init.items():
+                        if 0 <= t0 < kf_id and t0 < len(self._G_dr):
+                            G_dr_new = self.np_group.compose(
+                                self._G_dr[t0],
+                                self.np_group.inverse(
+                                    np.asarray(e0, np.float32)))
+                            break
+
+                def _seed_from(G_new, G_t):
+                    # Edge stores T_new<-t;  G[new] = G[t] ∘ inv(T).
+                    return np.asarray(self.np_group.compose(
+                        self.np_group.inverse(G_new), G_t), np.float32)
+
                 G_cache = None
-                for t in targets:
-                    if edge_init is not None and t in edge_init:
-                        init = np.asarray(edge_init[t], np.float32)
-                    elif self.graph.neighbors(kf_id):
-                        # Additional edge (area link or loop closure) with no
-                        # explicit init: identity would start LM arbitrarily
-                        # far off (the target may be physically distant even
-                        # when few hops away via the center chain).  Seed
-                        # from the current global estimate — one complete-ST
-                        # compose, paid only when such an edge is created.
-                        if G_cache is None:
-                            G_cache = self.create_complete_spanning_tree(0)
-                        G, dist = G_cache
-                        if kf_id in dist and t in dist:
-                            init = np.asarray(self.np_group.compose(
-                                self.np_group.inverse(G[kf_id]), G[t]),
-                                np.float32)
+                for which, targets in (("primary", primary_targets),
+                                       ("closure", closure_targets)):
+                    for t in targets:
+                        if edge_init is not None and t in edge_init:
+                            init = np.asarray(edge_init[t], np.float32)
+                        elif which == "primary" and G_dr_new is not None \
+                                and t < len(self._G_dr):
+                            # Local link: dead-reckoned seed (drift between
+                            # the new KF and a nearby target is tiny).
+                            init = _seed_from(G_dr_new, self._G_dr[t])
+                        elif which == "closure" or self.graph.neighbors(
+                                kf_id):
+                            # Distant re-visit: seed from the OPTIMIZED
+                            # global estimate (one host sync + complete-ST
+                            # compose, paid only per loop closure).
+                            if G_cache is None:
+                                G_cache = \
+                                    self.create_complete_spanning_tree(0)
+                            G, dist = G_cache
+                            if kf_id in dist and t in dist:
+                                init = _seed_from(G[kf_id], G[t])
+                            elif G_dr_new is not None and t in dist:
+                                init = _seed_from(G_dr_new, G[t])
+                            else:
+                                init = self.np_group.identity()
                         else:
                             init = self.np_group.identity()
-                    else:
-                        init = self.np_group.identity()
-                    e = self._add_edge(kf_id, t, init)
-                    self.graph.add_edge(kf_id, t)
-                    info.created_edge_ids.append(e)
+                        e = self._add_edge(kf_id, t, init)
+                        self.graph.add_edge(kf_id, t)
+                        info.created_edge_ids.append(e)
+
+                # Record the new KF's dead-reckoned global pose: prefer the
+                # odometry anchor; else derive from the first created edge.
+                if G_dr_new is None and info.created_edge_ids:
+                    e0 = info.created_edge_ids[0]
+                    t0 = int(self.state.k2k_to[e0])
+                    if t0 < len(self._G_dr):
+                        G_dr_new = self.np_group.compose(
+                            self._G_dr[t0],
+                            self.np_group.inverse(self.state.k2k_pose[e0]))
+                self._G_dr.append(
+                    G_dr_new if G_dr_new is not None
+                    else np.asarray(self.np_group.identity(), np.float32))
 
                 if getattr(self.model, "is_pose_landmark", False):
                     # Graph-SLAM mode: observing a KF that is unreachable
