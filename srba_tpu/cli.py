@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                       help="observation noise sigma for whitening")
 
     out = p.add_argument_group("output")
+    out.add_argument("--global-opt", action="store_true",
+                     help="run global pose-graph optimization (matrix-free "
+                          "LM-PCG over all kf2kf edges) after the sequence")
     out.add_argument("--no-local-opt", action="store_true")
     out.add_argument("--step-by-step", action="store_true",
                      help="print per-KF optimize stats")
@@ -197,6 +200,12 @@ def main(argv=None) -> int:
             print(f"kf {k}: edges+={len(info.created_edge_ids)} "
                   f"{info.optimize_results}", file=sys.stderr)
     wall = time.perf_counter() - t0
+
+    if args.global_opt:
+        _, ginfo = eng.optimize_global()
+        print(f"global PGO: err {ginfo['err_init']:.4e} -> "
+              f"{ginfo['err_final']:.4e} in {ginfo['iters']:.0f} LM iters",
+              file=sys.stderr)
 
     summary = {
         "num_kfs": eng.num_keyframes,

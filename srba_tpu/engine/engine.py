@@ -542,6 +542,37 @@ class SrbaEngine:
                 k2k_visitor(eid, p, n)
         return dist
 
+    def optimize_global(self, cfg=None, write_back: bool = True):
+        """Global pose-graph optimization over ALL kf2kf edges — the
+        in-framework replacement for the reference's export-to-MRPT-graphslam
+        path (``get_global_graphslam_problem`` consumed by an external
+        optimizer; here it is consumed by the TPU-native matrix-free LM-PCG
+        of :mod:`srba_tpu.solver.global_graphslam`).
+
+        Returns ``(G_opt [K, pose_dim], info)``.  With ``write_back`` the
+        relative edge poses are re-derived from the optimized globals
+        (``T_a<-b = inv(G_a) ∘ G_b``) so subsequent incremental operation
+        continues from the globally consistent map."""
+        from srba_tpu.io.export import get_global_graphslam_problem
+        from srba_tpu.solver.global_graphslam import \
+            optimize_global_pose_graph
+
+        prob = get_global_graphslam_problem(self)  # syncs internally
+        G_opt, info = optimize_global_pose_graph(prob, cfg)
+        if write_back and self.state.num_edges:
+            a = self.state.k2k_from[: self.state.num_edges]
+            b = self.state.k2k_to[: self.state.num_edges]
+            self.state.k2k_pose[: self.state.num_edges] = \
+                self.np_group.compose(self.np_group.inverse(G_opt[a]),
+                                      G_opt[b]).astype(np.float32)
+            if self.device_master is not None:
+                self.device_master.upload_from_host(
+                    self.state.k2k_pose, self.state.lm_state,
+                    self.state.num_edges, self.state.num_lms)
+            self._G_dr = [np.asarray(G_opt[k], np.float32)
+                          for k in range(self.state.num_kfs)]
+        return G_opt, info
+
     def eval_overall_squared_error(self) -> float:
         """Total whitened squared error over ALL observations, using
         global poses composed from the complete spanning tree (reference

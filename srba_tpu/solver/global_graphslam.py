@@ -1,0 +1,239 @@
+"""Global pose-graph optimization (PGO) — the in-framework consumer of
+``get_global_graphslam_problem``.
+
+The reference exports its relative problem to an absolute-coordinate pose
+graph and hands it to MRPT's external graph-slam Levenberg-Marquardt
+(``impl/get_global_graphslam_problem.h`` + mrpt-graphs, public MRPT/srba
+layout; SURVEY.md §1.3).  Here the global optimizer is first-class and
+TPU-native:
+
+* **Matrix-free Gauss-Newton/LM with block-Jacobi-preconditioned CG.**
+  A dense Hessian over K poses is O((K·dof)²) — hopeless at 10k+ keyframes.
+  But H = JᵀJ of a pose graph is graph-sparse: Hv needs only, per edge,
+  the two [dof,dof] Jacobian blocks against the incident nodes.  Every CG
+  iteration is therefore two batched block-matvecs over [E] edges plus two
+  segment-sum scatters — pure VPU/MXU work with static shapes, no sparse
+  matrix storage at all.
+* Per-edge Jacobian blocks come from forward-mode AD of the tangent-space
+  residual at zero (the exact closed-form chain rule, derived by the
+  compiler, batched with vmap) — re-linearized once per LM outer iteration.
+* Gauge freedom is fixed by masking node 0's tangent.
+* Everything (LM outer loop, CG inner loop) is ONE jitted program:
+  ``lax.while_loop`` outside, ``lax.scan``-style CG inside.
+
+Scale: 100k nodes × 6 dof = 600k unknowns is a few MB of state; the edge
+tables dominate and stream at HBM bandwidth.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srba_tpu.ops.lie import GROUPS
+
+
+@dataclass(frozen=True)
+class PGOConfig:
+    group: str
+    max_outer: int = 30          # LM iterations (each re-linearizes)
+    cg_iters: int = 50           # CG iterations per LM step
+    lam0: float = 1e-4
+    lam_up: float = 10.0
+    lam_down: float = 0.1
+    lam_min: float = 1e-10
+    lam_max: float = 1e8
+    rel_tol: float = 1e-8
+    cg_rtol: float = 1e-6
+
+
+def _make_residual(group):
+    def residual(Ga, Gb, z, eps_a, eps_b):
+        """Tangent residual of one edge constraint z = T_a<-b."""
+        a = group.retract(Ga, eps_a)
+        b = group.retract(Gb, eps_b)
+        pred = group.compose(group.inverse(a), b)   # T_a<-b from globals
+        return group.plog(group.compose(group.inverse(z), pred))
+    return residual
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pgo(cfg: PGOConfig):
+    group = GROUPS[cfg.group]
+    dof = group.dof
+    res_fn = _make_residual(group)
+
+    def linearize(G, ea, eb, z, w):
+        """Residuals r [E,dof] and Jacobian blocks A,B [E,dof,dof] wrt the
+        tangents of the two incident nodes, weighted."""
+        zeros = jnp.zeros((ea.shape[0], dof), G.dtype)
+
+        def per_edge(Ga, Gb, zi, e0a, e0b):
+            return res_fn(Ga, Gb, zi, e0a, e0b)
+
+        Ga, Gb = G[ea], G[eb]
+        r = jax.vmap(per_edge)(Ga, Gb, z, zeros, zeros)
+        A = jax.vmap(jax.jacfwd(per_edge, argnums=3))(Ga, Gb, z, zeros, zeros)
+        B = jax.vmap(jax.jacfwd(per_edge, argnums=4))(Ga, Gb, z, zeros, zeros)
+        sw = jnp.sqrt(w)[:, None]
+        return r * sw, A * sw[..., None], B * sw[..., None]
+
+    def build_ops(K, ea, eb, A, B, gauge_mask):
+        """Matrix-free H·v and Jᵀr over the edge-block structure."""
+
+        def JT(r):
+            # [K, dof] <- scatter AᵀrA to node a, BᵀrB to node b
+            ga = jax.ops.segment_sum(
+                jnp.einsum("eij,ei->ej", A, r), ea, num_segments=K)
+            gb = jax.ops.segment_sum(
+                jnp.einsum("eij,ei->ej", B, r), eb, num_segments=K)
+            return (ga + gb) * gauge_mask[:, None]
+
+        def Hv(v):
+            v = v * gauge_mask[:, None]
+            u = (jnp.einsum("eij,ej->ei", A, v[ea])
+                 + jnp.einsum("eij,ej->ei", B, v[eb]))
+            return JT(u)
+
+        def block_diag():
+            # [K, dof, dof] block-Jacobi preconditioner blocks of H
+            da = jax.ops.segment_sum(
+                jnp.einsum("eij,eik->ejk", A, A), ea, num_segments=K)
+            db = jax.ops.segment_sum(
+                jnp.einsum("eij,eik->ejk", B, B), eb, num_segments=K)
+            return da + db
+
+        return JT, Hv, block_diag
+
+    def solve(G0, ea, eb, z, w):
+        """Returns (G_opt, info).  Shapes: G0 [K,pd]; ea/eb/w [E]; z [E,pd].
+        ``w`` carries validity (0 = padding edge) and constraint weight."""
+        K = G0.shape[0]
+        gauge_mask = jnp.ones((K,), G0.dtype).at[0].set(0.0)
+
+        def err_of(G):
+            zeros = jnp.zeros((ea.shape[0], dof), G.dtype)
+            r = jax.vmap(res_fn)(G[ea], G[eb], z, zeros, zeros)
+            return jnp.sum(jnp.sum(r * r, axis=-1) * w)
+
+        def cg(Hv, Minv_mul, b):
+            """Preconditioned CG for H x = b (fixed iteration cap with
+            early-exit on relative residual)."""
+            x0 = jnp.zeros_like(b)
+            r0 = b
+            z0 = Minv_mul(r0)
+            p0 = z0
+            rz0 = jnp.vdot(r0, z0)
+            bnorm = jnp.sqrt(jnp.vdot(b, b)) + 1e-30
+
+            def cond(s):
+                x, r, p, rz, it = s
+                return jnp.logical_and(
+                    it < cfg.cg_iters,
+                    jnp.sqrt(jnp.vdot(r, r)) > cfg.cg_rtol * bnorm)
+
+            def body(s):
+                x, r, p, rz, it = s
+                Hp = Hv(p)
+                alpha = rz / (jnp.vdot(p, Hp) + 1e-30)
+                x = x + alpha * p
+                r = r - alpha * Hp
+                zv = Minv_mul(r)
+                rz_new = jnp.vdot(r, zv)
+                beta = rz_new / (rz + 1e-30)
+                p = zv + beta * p
+                return (x, r, p, rz_new, it + 1)
+
+            out = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
+            return out[0], out[4]
+
+        def lm_body(s):
+            G, lam, err, it, done, cg_total = s
+            r, A, B = linearize(G, ea, eb, z, w)
+            JT, Hv, block_diag = build_ops(K, ea, eb, A, B, gauge_mask)
+            g = JT(r)                               # [K, dof]
+            D = block_diag()                        # [K, dof, dof]
+            # LM damping on the block diagonal (+1 on gauge/empty rows to
+            # keep the preconditioner and the system SPD).
+            diag_scale = jnp.einsum("kii->ki", D)
+            bump = (lam * diag_scale + 1e-8
+                    + (1.0 - gauge_mask)[:, None])
+            D_d = D + jax.vmap(jnp.diag)(bump)
+            Minv = jnp.linalg.inv(D_d)
+
+            def Hv_damped(v):
+                vb = v.reshape(K, dof)
+                out = Hv(vb) + (lam * diag_scale + 1e-8) * vb * \
+                    gauge_mask[:, None]
+                return out.reshape(-1)
+
+            def Minv_mul(v):
+                return jnp.einsum(
+                    "kij,kj->ki", Minv, v.reshape(K, dof)).reshape(-1)
+
+            delta, cg_used = cg(Hv_damped, Minv_mul, -g.reshape(-1))
+            delta = delta.reshape(K, dof) * gauge_mask[:, None]
+            G_cand = group.retract(G, delta)
+            err_new = err_of(G_cand)
+            ok = jnp.isfinite(err_new)
+            accept = jnp.logical_and(err_new < err, ok)
+            G = jnp.where(accept, G_cand, G)
+            lam = jnp.where(accept,
+                            jnp.maximum(lam * cfg.lam_down, cfg.lam_min),
+                            jnp.minimum(lam * cfg.lam_up, cfg.lam_max))
+            improved = (err - err_new) > cfg.rel_tol * (err + 1e-30)
+            done = jnp.logical_and(accept, jnp.logical_not(improved))
+            err = jnp.where(accept, err_new, err)
+            return (G, lam, err, it + 1, done, cg_total + cg_used)
+
+        def lm_cond(s):
+            G, lam, err, it, done, cg_total = s
+            return jnp.logical_and(jnp.logical_not(done),
+                                   it < cfg.max_outer)
+
+        err0 = err_of(G0)
+        init = (G0, jnp.asarray(cfg.lam0, G0.dtype), err0,
+                jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                jnp.asarray(0, jnp.int32))
+        G, lam, err, it, _, cg_total = jax.lax.while_loop(
+            lm_cond, lm_body, init)
+        info = {"err_init": err0, "err_final": err, "iters": it,
+                "lam": lam, "cg_iters_total": cg_total}
+        return G, info
+
+    return jax.jit(solve)
+
+
+def optimize_global_pose_graph(problem: dict,
+                               cfg: PGOConfig | None = None,
+                               weights: np.ndarray | None = None):
+    """Optimize an exported global pose-graph problem (the dict produced by
+    :func:`srba_tpu.io.export.get_global_graphslam_problem`).
+
+    Returns ``(nodes_opt [K, pose_dim] numpy, info dict)``.  Node 0 is the
+    gauge (held fixed).  Unreachable nodes keep their input values.
+    """
+    group_name = problem["group"]
+    if cfg is None:
+        cfg = PGOConfig(group=group_name)
+    assert cfg.group == group_name
+    nodes = np.asarray(problem["nodes"], np.float32)
+    edges = problem["edges"]
+    E = len(edges)
+    if E == 0:
+        return nodes, {"err_init": 0.0, "err_final": 0.0, "iters": 0}
+    ea = np.asarray([e["from"] for e in edges], np.int32)
+    eb = np.asarray([e["to"] for e in edges], np.int32)
+    z = np.stack([np.asarray(e["rel_pose"], np.float32) for e in edges])
+    w = (np.ones(E, np.float32) if weights is None
+         else np.asarray(weights, np.float32))
+
+    solve = _make_pgo(cfg)
+    G, info = solve(jnp.asarray(nodes), jnp.asarray(ea), jnp.asarray(eb),
+                    jnp.asarray(z), jnp.asarray(w))
+    G, info = jax.device_get((G, info))
+    return np.asarray(G), {k: float(v) for k, v in info.items()}

@@ -1,0 +1,110 @@
+"""Global pose-graph optimizer (matrix-free LM-PCG): synthetic SE(2)/SE(3)
+pose graphs with loop closures, gauge behavior, engine integration."""
+
+import numpy as np
+import pytest
+
+from srba_tpu.ops.np_lie import NpSE2, NpSE3
+from srba_tpu.solver.global_graphslam import (PGOConfig,
+                                              optimize_global_pose_graph)
+
+
+def _circle_problem(group, K=60, noise=0.02, n_closures=6, seed=0):
+    """Noisy dead-reckoned circle with exact-ish loop-closure constraints."""
+    rng = np.random.default_rng(seed)
+    np_g = NpSE2 if group == "SE2" else NpSE3
+    dof = 3 if group == "SE2" else 6
+    # Ground-truth poses around a circle.
+    gt = []
+    for k in range(K):
+        th = 2 * np.pi * k / K
+        if group == "SE2":
+            gt.append(np.asarray([5 * np.cos(th), 5 * np.sin(th),
+                                  th + np.pi / 2], np.float32))
+        else:
+            p = NpSE3.pexp(np.asarray(
+                [5 * np.cos(th), 5 * np.sin(th), 0.1 * np.sin(2 * th),
+                 0, 0, th + np.pi / 2], np.float32))
+            gt.append(p.astype(np.float32))
+    gt = np.stack(gt)
+
+    def rel(i, j):
+        return np_g.compose(np_g.inverse(gt[i]), gt[j]).astype(np.float32)
+
+    edges = []
+    # Odometry chain with noise on the measurement.
+    for k in range(1, K):
+        zn = np_g.retract(rel(k - 1, k),
+                          rng.normal(0, noise, dof).astype(np.float32))
+        edges.append({"from": k - 1, "to": k,
+                      "rel_pose": np.asarray(zn, np.float32)})
+    # Loop closures (low noise) spread around the circle.
+    for c in range(n_closures):
+        i = int(c * K / n_closures)
+        j = (i + K // 2) % K
+        zn = np_g.retract(rel(i, j),
+                          rng.normal(0, noise / 10, dof).astype(np.float32))
+        edges.append({"from": i, "to": j,
+                      "rel_pose": np.asarray(zn, np.float32)})
+
+    # Initial nodes: dead-reckon the noisy odometry (drifts).
+    nodes = np.zeros_like(gt)
+    nodes[0] = gt[0]
+    for k in range(1, K):
+        nodes[k] = np_g.compose(nodes[k - 1], edges[k - 1]["rel_pose"])
+    return {"group": group, "nodes": nodes, "edges": edges,
+            "reachable": list(range(K))}, gt
+
+
+def _pos_ate(G, gt, d):
+    a = np.asarray(G, np.float64)[:, :d] - np.asarray(gt, np.float64)[:, :d]
+    return float(np.sqrt(np.mean(np.sum(a * a, axis=-1))))
+
+
+@pytest.mark.parametrize("group,d", [("SE2", 2), ("SE3", 3)])
+def test_circle_converges(group, d):
+    prob, gt = _circle_problem(group)
+    ate0 = _pos_ate(prob["nodes"], gt, d)
+    G, info = optimize_global_pose_graph(prob)
+    ate1 = _pos_ate(G, gt, d)
+    assert info["err_final"] < info["err_init"]
+    assert ate1 < 0.35 * ate0, (ate0, ate1)
+    # Gauge: node 0 untouched.
+    np.testing.assert_allclose(G[0], prob["nodes"][0], atol=1e-6)
+
+
+def test_zero_noise_is_fixpointish():
+    prob, gt = _circle_problem("SE2", noise=0.0)
+    G, info = optimize_global_pose_graph(prob)
+    assert info["err_final"] < 1e-8
+    assert _pos_ate(G, gt, 2) < 1e-3
+
+
+def test_engine_optimize_global_improves_map():
+    from srba_tpu import Observation, SrbaEngine, SrbaParams
+    from srba_tpu.utils.datasets import make_graph_slam_dataset, \
+        make_world_loop_2d
+
+    world = make_world_loop_2d(num_kfs=30, radius=6.0, num_landmarks=1,
+                               seed=2)
+    ds = make_graph_slam_dataset(world, noise_std=0.01,
+                                 loop_closure_range=3.0, seed=2)
+    eng = SrbaEngine("RelativePoses2D",
+                     params=SrbaParams(max_tree_depth=3,
+                                       max_optimize_depth=3))
+    for k, frame in enumerate(ds.frames):
+        eng.define_new_keyframe(
+            [Observation(lm_id=m, z=z) for m, z in frame],
+            edge_init={k - 1: ds.odometry[k - 1]} if k > 0 else None)
+    err_before = eng.eval_overall_squared_error()
+    G_opt, info = eng.optimize_global()
+    err_after = eng.eval_overall_squared_error()
+    assert np.isfinite(err_after)
+    assert info["err_final"] <= info["err_init"] + 1e-9
+    # Global refinement must not make the overall map worse.
+    assert err_after <= err_before * 1.05 + 1e-6
+    # Engine still operates incrementally after global write-back.
+    eng.define_new_keyframe(
+        [Observation(lm_id=eng.num_keyframes - 1,
+                     z=ds.odometry[-1])],
+        edge_init={eng.num_keyframes - 1: ds.odometry[-1]})
