@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from srba_tpu.ops.block_linalg import spd_inverse
 from srba_tpu.ops.lie import GROUPS
 
 
@@ -163,7 +164,9 @@ def _make_pgo(cfg: PGOConfig):
             bump = (lam * diag_scale + 1e-8
                     + (1.0 - gauge_mask)[:, None])
             D_d = D + jax.vmap(jnp.diag)(bump)
-            Minv = jnp.linalg.inv(D_d)
+            # Batched small-SPD inverse: 46x faster than jnp.linalg.inv at
+            # these shapes (see ops/block_linalg.py).
+            Minv = spd_inverse(D_d)
 
             def Hv_damped(v):
                 vb = v.reshape(K, dof)

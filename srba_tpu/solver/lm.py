@@ -42,6 +42,7 @@ from flax import struct
 
 from srba_tpu.models.landmarks import LANDMARK_TYPES
 from srba_tpu.models.observations import OBSERVATION_MODELS
+from srba_tpu.ops.block_linalg import spd_inverse
 from srba_tpu.ops.lie import GROUPS
 from srba_tpu.ops.robust import pseudo_huber_cost, pseudo_huber_weight
 
@@ -236,7 +237,10 @@ def make_solver_impl(cfg: SolverConfig):
         diag_f = jnp.diagonal(Hf, axis1=-2, axis2=-1)              # [L, ldof]
         bump = lam * diag_f + cfg.diag_floor + (1.0 - b.lm_opt)[:, None]
         Hf_d = Hf + jax.vmap(jnp.diag)(bump)
-        Hf_inv = jnp.linalg.inv(Hf_d)                              # [L, l, l]
+        # Unrolled batched SPD inverse (ops/block_linalg.py): the landmark
+        # blocks are 2x2/3x3 (6x6 in graph-SLAM) — jnp.linalg.inv serializes
+        # per block, this vectorizes over L.
+        Hf_inv = spd_inverse(Hf_d)                                 # [L, l, l]
 
         A = Hp_d - jnp.einsum("lpi,lij,lqj->pq", Hpf, Hf_inv, Hpf)
         rhs = gp - jnp.einsum("lpi,lij,lj->p", Hpf, Hf_inv, gf)
