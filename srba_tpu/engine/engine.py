@@ -542,6 +542,132 @@ class SrbaEngine:
                 k2k_visitor(eid, p, n)
         return dist
 
+    def refine_map(self, sweeps: int = 1, stride: Optional[int] = None,
+                   depth: Optional[int] = None, mesh=None) -> Dict[str, float]:
+        """Map-parallel refinement (M4): block-coordinate LM sweeps over the
+        whole map — windows around every ``stride``-th keyframe are solved
+        SIMULTANEOUSLY in one vmapped device dispatch per sweep, each unknown
+        owned by exactly one window per sweep (disjoint writes; see
+        :mod:`srba_tpu.solver.multi_window`).  With ``mesh`` the window axis
+        is sharded over devices.  Requires the device-master path."""
+        import jax.numpy as jnp
+
+        from srba_tpu.solver.multi_window import (make_sweep_step,
+                                                  make_sweep_step_mesh,
+                                                  plan_sweep_roots)
+        from srba_tpu.solver.master import pack_window_ints
+
+        assert self.device_master is not None, \
+            "refine_map requires the device-master engine mode"
+        dm = self.device_master
+        dm.flush_append()
+        tree_depth = self.parameters.max_tree_depth
+        depth = depth or self.parameters.max_optimize_depth
+        step = (make_sweep_step(self._solver_cfg) if mesh is None
+                else make_sweep_step_mesh(self._solver_cfg, mesh))
+        if dm._whitener_dev is None:
+            import jax
+            dm._whitener_dev = jnp.asarray(self._whitener, jnp.float32)
+            dm._spinv_dev = jnp.asarray(self._sensor_pose_inv, jnp.float32)
+            dm._calib_dev = jax.tree.map(jnp.asarray, self.calib)
+        info_out: Dict[str, float] = {"windows": 0.0}
+        dev_info = None
+
+        eff_stride = stride if stride is not None else \
+            (getattr(self.ecp, "submap_size", None)
+             or self.parameters.max_optimize_depth)
+        all_roots = plan_sweep_roots(self, stride)
+        # Red-black phases: adjacent windows share context (edges/landmarks
+        # each treats as fixed), so simultaneous Jacobi-style updates of
+        # neighbors can overshoot; alternating parities makes each phase's
+        # windows far apart (fully parallel) while neighbors update
+        # sequentially (Gauss-Seidel).
+        phases = [all_roots[0::2], all_roots[1::2]]
+        for si in range(max(1, int(sweeps)) * 2):
+            roots = phases[si % 2]
+            wins = []
+            claimed_e: set = set()
+            claimed_l: set = set()
+            for root in roots:
+                if self.native is not None:
+                    built = self.native.build_window(
+                        self.state, root, depth, tree_depth)
+                else:
+                    built = build_window(self.state, self.graph, root, depth,
+                                         tree_depth, gather_floats=False)
+                if built is None:
+                    continue
+                arrays, plan = built
+                # Ownership: zero the opt mask on already-claimed unknowns.
+                e_own = np.asarray([
+                    1.0 if (arrays.edge_opt[i] > 0
+                            and int(arrays.edge_gids[i]) not in claimed_e)
+                    else 0.0
+                    for i in range(len(arrays.edge_gids))], np.float32)
+                l_own = np.asarray([
+                    1.0 if (arrays.lm_opt[i] > 0
+                            and int(arrays.lm_gids[i]) not in claimed_l)
+                    else 0.0
+                    for i in range(len(arrays.lm_gids))], np.float32)
+                # (pad slots have opt == 0 already)
+                n_e = len(plan.edge_ids)
+                n_l = len(plan.lm_ids)
+                if not (e_own.any() or l_own.any()):
+                    continue
+                claimed_e.update(int(g) for i, g in
+                                 enumerate(arrays.edge_gids[:n_e])
+                                 if e_own[i] > 0)
+                claimed_l.update(int(g) for i, g in
+                                 enumerate(arrays.lm_gids[:n_l])
+                                 if l_own[i] > 0)
+                wins.append((arrays, e_own, l_own))
+            if not wins:
+                break
+
+            # Common bucket shape + stacking.
+            E = max(a.edge_gids.shape[0] for a, _, _ in wins)
+            L = max(a.lm_gids.shape[0] for a, _, _ in wins)
+            N = max(a.obs_z.shape[0] for a, _, _ in wins)
+            W = len(wins)
+            if mesh is not None:
+                n_dev = int(np.prod(list(mesh.shape.values())))
+                W = ((W + n_dev - 1) // n_dev) * n_dev
+            D = tree_depth
+            T = 2 * E + 2 * L + 2 * N + 2 * N * D
+            ints = np.zeros((W, T), np.int32)
+            obs_z = np.zeros((W, N, self.state.z_dim), np.float32)
+
+            def pad_to(a, n, fill=0):
+                out = np.full((n,) + a.shape[1:], fill, a.dtype)
+                out[: a.shape[0]] = a
+                return out
+
+            for wi, (a, e_own, l_own) in enumerate(wins):
+                ints[wi] = pack_window_ints(
+                    pad_to(a.edge_gids, E), pad_to(e_own, E),
+                    pad_to(a.lm_gids, L), pad_to(l_own, L),
+                    pad_to(a.obs_lm, N), pad_to(a.obs_valid, N),
+                    pad_to(a.path_edge, N), pad_to(a.path_sign, N))
+                obs_z[wi, : a.obs_z.shape[0]] = a.obs_z
+                if a.obs_z.shape[0] < N:   # valid-valued padding rows
+                    obs_z[wi, a.obs_z.shape[0]:] = a.obs_z[0]
+            # Padding windows (mesh divisibility): all-zero opt masks; point
+            # their obs at window 0's values to stay non-degenerate.
+            for wi in range(len(wins), W):
+                ints[wi] = ints[0] * 0
+                obs_z[wi] = obs_z[0]
+
+            dm.pose, dm.lm, dev_info = step(
+                dm.pose, dm.lm, jnp.asarray(ints), jnp.asarray(obs_z),
+                dm._whitener_dev, dm._spinv_dev, dm._calib_dev, E, L, N)
+            dm.dirty = True
+            info_out["windows"] += float(len(wins))
+        if dev_info is not None:
+            import jax
+            info_out.update({k: float(v) for k, v in
+                             jax.device_get(dev_info).items()})
+        return info_out
+
     def optimize_global(self, cfg=None, write_back: bool = True):
         """Global pose-graph optimization over ALL kf2kf edges — the
         in-framework replacement for the reference's export-to-MRPT-graphslam
