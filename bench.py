@@ -44,6 +44,85 @@ def run_once(ds, report_profile=False):
     return eng, dt
 
 
+def bench_stereo(num_kfs=60):
+    """Secondary metric (stderr): BASELINE config #3 — stereo SE(3) with
+    Schur over landmarks and an SE(3) sensor mounting pose."""
+    from srba_tpu import Observation, SrbaEngine, SrbaParams
+    from srba_tpu.models.observations import StereoCalib
+    from srba_tpu.models.sensor_pose import SensorPoseSE3
+    from srba_tpu.ops.np_lie import CAMERA_SENSOR_POSE_SE3
+    from srba_tpu.utils.datasets import (ate_rmse, make_world_loop_3d,
+                                         observe)
+
+    world = make_world_loop_3d(num_kfs=num_kfs, radius=8.0,
+                               num_landmarks=400, height_amp=0.5, seed=1)
+    calib = StereoCalib.make(fx=200.0, fy=200.0, cx=160.0, cy=120.0,
+                             baseline=0.12)
+    ds = observe(world, "StereoCamera", calib=calib, noise_std=0.3,
+                 sensor_range=9.0, odo_noise_std=0.01, seed=1)
+
+    def run():
+        eng = SrbaEngine(
+            "StereoCamera", calib=calib,
+            sensor_pose=SensorPoseSE3(CAMERA_SENSOR_POSE_SE3),
+            params=SrbaParams(max_tree_depth=4, max_optimize_depth=4))
+        t0 = time.perf_counter()
+        for k, frame in enumerate(ds.frames):
+            obs = [Observation(lm_id=m, z=z) for m, z in frame]
+            edge_init = {k - 1: ds.odometry[k - 1]} if k > 0 else None
+            eng.define_new_keyframe(obs, edge_init=edge_init)
+        eng.sync()
+        return eng, time.perf_counter() - t0
+
+    run()                      # warmup (compile buckets)
+    eng, dt = run()
+    from srba_tpu.utils.datasets import ate_rmse
+    G, _ = eng.create_complete_spanning_tree(0)
+    ate = ate_rmse(G[:, :3], world.gt_poses[:, :3])
+    print(f"secondary config#3 stereo SE3: {num_kfs / dt:.1f} KF/s  "
+          f"ATE={ate:.4f} m", file=sys.stderr)
+
+
+def bench_pgo(K=20000):
+    """Secondary metric (stderr): global pose-graph optimization at scale."""
+    import numpy as np
+
+    from srba_tpu.ops.np_lie import NpSE3
+    from srba_tpu.solver.global_graphslam import (PGOConfig,
+                                                  optimize_global_pose_graph)
+
+    rng = np.random.default_rng(0)
+    th = 2 * np.pi * np.arange(K) / K
+    gt = np.stack([NpSE3.pexp(np.asarray(
+        [30 * np.cos(t), 30 * np.sin(t), np.sin(3 * t), 0, 0,
+         t + np.pi / 2], np.float32)) for t in th])
+
+    def rel(i, j):
+        return NpSE3.compose(NpSE3.inverse(gt[i]), gt[j]).astype(np.float32)
+
+    edges = [{"from": k - 1, "to": k,
+              "rel_pose": NpSE3.retract(
+                  rel(k - 1, k), rng.normal(0, 0.02, 6).astype(np.float32))}
+             for k in range(1, K)]
+    for c in range(K // 100):
+        i = int(c * 100)
+        j = (i + K // 2) % K
+        edges.append({"from": i, "to": j, "rel_pose": rel(i, j)})
+    nodes = np.stack([NpSE3.retract(gt[k],
+                                    rng.normal(0, 0.3, 6).astype(np.float32))
+                      for k in range(K)])
+    nodes[0] = gt[0]
+    prob = {"group": "SE3", "nodes": nodes, "edges": edges}
+    cfg = PGOConfig(group="SE3", max_outer=30, cg_iters=100)
+    optimize_global_pose_graph(prob, cfg)      # warmup/compile
+    t0 = time.perf_counter()
+    G, info = optimize_global_pose_graph(prob, cfg)
+    dt = time.perf_counter() - t0
+    print(f"secondary global PGO: {K} nodes / {len(edges)} edges SE3 in "
+          f"{dt:.2f}s  err {info['err_init']:.2e}->{info['err_final']:.2e}",
+          file=sys.stderr)
+
+
 def main():
     from srba_tpu.utils.datasets import (ate_rmse, make_world_loop_2d,
                                          observe)
@@ -66,6 +145,14 @@ def main():
     err = eng.eval_overall_squared_error()
     print(f"steady pass: {dt:.3f}s  ({kf_per_sec:.1f} KF/s)  "
           f"ATE={ate:.4f}  overall_err={err:.4f}", file=sys.stderr)
+
+    # Secondary metrics (stderr only; the driver consumes the single JSON
+    # line below).
+    try:
+        bench_stereo()
+        bench_pgo()
+    except Exception as ex:  # secondary metrics must never kill the bench
+        print(f"secondary benches failed: {ex!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "keyframes/sec (LM+Schur, config#1 2D range-bearing "

@@ -27,8 +27,10 @@ tables dominate and stream at HBM bandwidth.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +52,11 @@ class PGOConfig:
     lam_max: float = 1e8
     rel_tol: float = 1e-8
     cg_rtol: float = 1e-6
+    # SPMD: mesh axis the EDGE tables are sharded over.  Nodes stay
+    # replicated; every edge-indexed reduction (gradient, Hv, block diag,
+    # error) is psum'ed over this axis so the replicated LM/CG control flow
+    # takes identical decisions on every device.
+    axis_name: Optional[str] = None
 
 
 def _make_residual(group):
@@ -67,6 +74,10 @@ def _make_pgo(cfg: PGOConfig):
     group = GROUPS[cfg.group]
     dof = group.dof
     res_fn = _make_residual(group)
+
+    def _psum(x):
+        return (jax.lax.psum(x, cfg.axis_name)
+                if cfg.axis_name is not None else x)
 
     def linearize(G, ea, eb, z, w):
         """Residuals r [E,dof] and Jacobian blocks A,B [E,dof,dof] wrt the
@@ -92,7 +103,7 @@ def _make_pgo(cfg: PGOConfig):
                 jnp.einsum("eij,ei->ej", A, r), ea, num_segments=K)
             gb = jax.ops.segment_sum(
                 jnp.einsum("eij,ei->ej", B, r), eb, num_segments=K)
-            return (ga + gb) * gauge_mask[:, None]
+            return _psum(ga + gb) * gauge_mask[:, None]
 
         def Hv(v):
             v = v * gauge_mask[:, None]
@@ -106,7 +117,7 @@ def _make_pgo(cfg: PGOConfig):
                 jnp.einsum("eij,eik->ejk", A, A), ea, num_segments=K)
             db = jax.ops.segment_sum(
                 jnp.einsum("eij,eik->ejk", B, B), eb, num_segments=K)
-            return da + db
+            return _psum(da + db)
 
         return JT, Hv, block_diag
 
@@ -119,7 +130,7 @@ def _make_pgo(cfg: PGOConfig):
         def err_of(G):
             zeros = jnp.zeros((ea.shape[0], dof), G.dtype)
             r = jax.vmap(res_fn)(G[ea], G[eb], z, zeros, zeros)
-            return jnp.sum(jnp.sum(r * r, axis=-1) * w)
+            return _psum(jnp.sum(jnp.sum(r * r, axis=-1) * w))
 
         def cg(Hv, Minv_mul, b):
             """Preconditioned CG for H x = b (fixed iteration cap with
@@ -208,17 +219,45 @@ def _make_pgo(cfg: PGOConfig):
                 "lam": lam, "cg_iters_total": cg_total}
         return G, info
 
-    return jax.jit(solve)
+    return solve
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pgo_jit(cfg: PGOConfig):
+    assert cfg.axis_name is None
+    return jax.jit(_make_pgo(cfg))
+
+
+def make_pgo_spmd(cfg: PGOConfig, mesh):
+    """Edge-sharded SPMD PGO over ``mesh``'s single axis: nodes replicated,
+    edge tables split, per-edge reductions psum'ed (see PGOConfig.axis_name).
+    Edge count must be a multiple of the mesh size (pad with w=0 edges)."""
+    from jax.sharding import PartitionSpec as P
+
+    (axis,) = mesh.axis_names
+    if cfg.axis_name != axis:
+        cfg = dataclasses.replace(cfg, axis_name=axis)
+    solve = _make_pgo(cfg)
+    repl = P()
+    info_specs = {k: repl for k in ("err_init", "err_final", "iters", "lam",
+                                    "cg_iters_total")}
+    return jax.jit(jax.shard_map(
+        solve, mesh=mesh,
+        in_specs=(repl, P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(repl, info_specs),
+        check_vma=False))
 
 
 def optimize_global_pose_graph(problem: dict,
                                cfg: PGOConfig | None = None,
-                               weights: np.ndarray | None = None):
+                               weights: np.ndarray | None = None,
+                               mesh=None):
     """Optimize an exported global pose-graph problem (the dict produced by
     :func:`srba_tpu.io.export.get_global_graphslam_problem`).
 
     Returns ``(nodes_opt [K, pose_dim] numpy, info dict)``.  Node 0 is the
-    gauge (held fixed).  Unreachable nodes keep their input values.
+    gauge (held fixed).  Unreachable nodes keep their input values.  With
+    ``mesh``, the edge tables are sharded over its (single) axis.
     """
     group_name = problem["group"]
     if cfg is None:
@@ -235,7 +274,18 @@ def optimize_global_pose_graph(problem: dict,
     w = (np.ones(E, np.float32) if weights is None
          else np.asarray(weights, np.float32))
 
-    solve = _make_pgo(cfg)
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        Ep = ((E + n_dev - 1) // n_dev) * n_dev
+        if Ep != E:   # pad with weight-0 self-anchored edges
+            pad = Ep - E
+            ea = np.concatenate([ea, np.zeros(pad, np.int32)])
+            eb = np.concatenate([eb, np.zeros(pad, np.int32)])
+            z = np.concatenate([z, np.tile(z[:1], (pad, 1))])
+            w = np.concatenate([w, np.zeros(pad, np.float32)])
+        solve = make_pgo_spmd(cfg, mesh)
+    else:
+        solve = _make_pgo_jit(cfg)
     G, info = solve(jnp.asarray(nodes), jnp.asarray(ea), jnp.asarray(eb),
                     jnp.asarray(z), jnp.asarray(w))
     G, info = jax.device_get((G, info))

@@ -80,6 +80,22 @@ def test_zero_noise_is_fixpointish():
     assert _pos_ate(G, gt, 2) < 1e-3
 
 
+def test_spmd_pgo_matches_single_device():
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices (CPU mesh)")
+    from srba_tpu.parallel.sharding import make_mesh
+
+    prob, gt = _circle_problem("SE2", K=40, n_closures=5, seed=3)
+    G1, i1 = optimize_global_pose_graph(prob)
+    mesh = make_mesh(4)
+    GN, iN = optimize_global_pose_graph(prob, mesh=mesh)
+    assert iN["err_final"] == pytest.approx(i1["err_final"],
+                                            rel=1e-3, abs=1e-7)
+    np.testing.assert_allclose(GN, G1, rtol=1e-3, atol=1e-3)
+
+
 def test_engine_optimize_global_improves_map():
     from srba_tpu import Observation, SrbaEngine, SrbaParams
     from srba_tpu.utils.datasets import make_graph_slam_dataset, \
