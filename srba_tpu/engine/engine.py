@@ -49,6 +49,9 @@ class SrbaParams:
     max_iters: int = 20
     lam0: float = 1e-4
     rel_tol: float = 1e-6
+    # Solver engine selector (reference: solver_LM_* options):
+    # "schur_dense_cholesky" (default) or "no_schur_dense_cholesky".
+    solver: str = "schur_dense_cholesky"
 
 
 @dataclass
@@ -168,6 +171,7 @@ class SrbaEngine:
             max_iters=self.parameters.max_iters,
             lam0=self.parameters.lam0,
             rel_tol=self.parameters.rel_tol,
+            solver=self.parameters.solver,
         )
         self._eval_fn = None  # built lazily (see eval_overall_squared_error)
 
@@ -424,10 +428,13 @@ class SrbaEngine:
     # ------------------------------------------------------------------
 
     def optimize_local_area(self, root_kf: int,
-                            win_size: Optional[int] = None
+                            win_size: Optional[int] = None,
+                            restrict_edges=None, restrict_lms=None
                             ) -> Dict[str, float]:
         """BFS window around ``root_kf`` -> padded batch -> jitted LM+Schur
-        -> write back (reference ``optimize_local_area``)."""
+        -> write back (reference ``optimize_local_area``).  With
+        ``restrict_edges`` / ``restrict_lms`` (sets of global ids) the
+        unknowns are limited to those lists (used by ``optimize_edges``)."""
         import jax
         import jax.numpy as jnp
 
@@ -449,6 +456,19 @@ class SrbaEngine:
                 master.flush_append()
             return {"skipped": 1.0}
         arrays, plan = built
+
+        if restrict_edges is not None:
+            keep = np.asarray([g in restrict_edges for g in arrays.edge_gids],
+                              np.float32)
+            arrays.edge_opt[:] = arrays.edge_opt * keep
+            plan.edge_opt[:] = plan.edge_opt & np.asarray(
+                [g in restrict_edges for g in plan.edge_ids])
+        if restrict_lms is not None:
+            keepl = np.asarray([g in restrict_lms for g in arrays.lm_gids],
+                               np.float32)
+            arrays.lm_opt[:] = arrays.lm_opt * keepl[: len(arrays.lm_opt)]
+            plan.lm_opt[:] = plan.lm_opt & np.asarray(
+                [g in restrict_lms for g in plan.lm_ids])
 
         if master is not None:
             # Device-master fast path (M3): append staged rows + gather +
@@ -491,17 +511,21 @@ class SrbaEngine:
         return {k: float(v) for k, v in dev_info.items()}
 
     def optimize_edges(self, k2k_edge_ids: Sequence[int],
-                       landmark_ids: Sequence[int]) -> Dict[str, float]:
-        """Explicit-list variant (reference ``optimize_edges``): optimize the
-        given edges/landmarks using all usable observations of those
-        landmarks.  Implemented by running the window builder rooted at the
-        newest KF touching the edge set, then masking unknowns to the given
-        lists."""
+                       landmark_ids: Optional[Sequence[int]] = None
+                       ) -> Dict[str, float]:
+        """Explicit-list variant (reference ``optimize_edges``): optimize
+        EXACTLY the given edges (and landmarks, if listed — else every
+        in-window non-fixed landmark), using the observations of the window
+        rooted at the newest keyframe touching the edge set."""
         if not k2k_edge_ids:
             return {"skipped": 1.0}
-        root = max(int(self.state.k2k_from[e]) for e in k2k_edge_ids)
-        # Depth large enough to span the requested edges from the root.
-        return self.optimize_local_area(root, self.parameters.max_optimize_depth)
+        root = max(max(int(self.state.k2k_from[e]), int(self.state.k2k_to[e]))
+                   for e in k2k_edge_ids)
+        return self.optimize_local_area(
+            root, self.parameters.max_optimize_depth,
+            restrict_edges=set(int(e) for e in k2k_edge_ids),
+            restrict_lms=(None if landmark_ids is None
+                          else set(int(l) for l in landmark_ids)))
 
     # ------------------------------------------------------------------
     # Global-map recovery & evaluation

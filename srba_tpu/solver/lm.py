@@ -75,6 +75,15 @@ class SolverConfig:
     pose_group: str
     lm_type: str
     max_depth: int                 # D: padded spanning-tree path length
+    # Solver engine — analog of the reference's three solver selectors
+    # (``solver_LM_schur_dense_cholesky`` / ``..._schur_sparse_cholesky`` /
+    # ``..._no_schur_sparse_cholesky``).  On TPU the window system is small
+    # and DENSE always wins (the MXU eats it; sparse Cholesky would strand
+    # the solve on scalar pointer-chasing), so the two variants offered are
+    # Schur-marginalized vs full-system dense Cholesky; the reference's
+    # sparse backends are intentionally not replicated (design note in
+    # module docstring).
+    solver: str = "schur_dense_cholesky"   # | "no_schur_dense_cholesky"
     use_sensor_pose: bool = False
     use_robust_kernel: bool = False
     kernel_param: float = 1.0
@@ -237,6 +246,23 @@ def make_solver_impl(cfg: SolverConfig):
         diag_f = jnp.diagonal(Hf, axis1=-2, axis2=-1)              # [L, ldof]
         bump = lam * diag_f + cfg.diag_floor + (1.0 - b.lm_opt)[:, None]
         Hf_d = Hf + jax.vmap(jnp.diag)(bump)
+
+        if cfg.solver == "no_schur_dense_cholesky":
+            # Full-system dense Cholesky (no landmark marginalization) —
+            # the analog of the reference's no-Schur solver engine.
+            P = E * pdof
+            Q = L * ldof
+            Hpf_full = Hpf.transpose(1, 0, 2).reshape(P, Q)
+            Hf_full = jnp.zeros((L, ldof, L, ldof), Hf.dtype)
+            idx = jnp.arange(L)
+            Hf_full = Hf_full.at[idx, :, idx, :].set(Hf_d).reshape(Q, Q)
+            H = jnp.block([[Hp_d, Hpf_full], [Hpf_full.T, Hf_full]])
+            rhs = jnp.concatenate([gp, gf.reshape(Q)])
+            chol = jax.scipy.linalg.cho_factor(H)
+            delta = -jax.scipy.linalg.cho_solve(chol, rhs)
+            dp = delta[:P] * epm
+            df = delta[P:].reshape(L, ldof) * b.lm_opt[:, None]
+            return dp.reshape(E, pdof), df
         # Unrolled batched SPD inverse (ops/block_linalg.py): the landmark
         # blocks are 2x2/3x3 (6x6 in graph-SLAM) — jnp.linalg.inv serializes
         # per block, this vectorizes over L.
