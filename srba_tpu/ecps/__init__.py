@@ -78,9 +78,23 @@ class LocalAreasFixedGrid:
         closures: List[int] = []
         for center, count in sorted(votes.items()):
             if count >= self.min_obs_count_loop_closure \
-                    and center not in primary and center != new_kf:
+                    and center not in primary and center != new_kf \
+                    and _needs_closure(graph, primary[0], center):
                 closures.append(center)
         return primary, closures
+
+
+def _needs_closure(graph: KeyframeGraph, anchor: int, center: int) -> bool:
+    """A loop-closure edge is only structurally useful when the re-visited
+    area is NOT already reachable within the spanning-tree depth (through
+    the primary link's neighborhood).  Without this check every keyframe in
+    a re-visited region re-votes an edge to the same center: the graph
+    densifies into a small world and depth-bounded windows balloon to the
+    whole map (measured: E=1024-edge windows, 390 of 900 keyframes, per-KF
+    cost x100).  One closure edge per re-entered area keeps windows
+    bounded — the SRBA O(1) property."""
+    return graph.distance(anchor, center,
+                          max(1, graph.max_tree_depth - 1)) is None
 
 
 @dataclass
@@ -111,7 +125,8 @@ class LocalAreasVar1:
         for center, count in sorted(votes.items()):
             if center == my_center or center in primary or center == new_kf:
                 continue
-            if count >= self.min_obs_count_loop_closure:
+            if count >= self.min_obs_count_loop_closure \
+                    and _needs_closure(graph, primary[0], center):
                 closures.append(center)
         return primary, closures
 

@@ -88,9 +88,10 @@ class DeviceMaster:
 
     # Generous initial capacities: growth recompiles the step program
     # (10-40 s each on the tunneled TPU), so start big — a few MB of HBM
-    # buys away almost all growth events.
-    INIT_EDGE_CAP = 4096
-    INIT_LM_CAP = 16384
+    # buys away almost all growth events (16k edges / 64k landmarks ≈ 1.2 MB
+    # at SE(3) dims).
+    INIT_EDGE_CAP = 16384
+    INIT_LM_CAP = 65536
     PAD_E_MIN = 8
     PAD_L_MIN = 64
 

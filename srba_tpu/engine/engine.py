@@ -159,6 +159,13 @@ class SrbaEngine:
         # Dead-reckoned global pose per KF (host, odometry-composed): seeds
         # primary-link edge initials without device syncs.
         self._G_dr: List[np.ndarray] = []
+        # Throttled optimized-global-pose cache for loop-closure seeding:
+        # (num_kfs at build, G array, dist map).  Rebuilding costs one device
+        # sync + a full spanning-tree compose, so it is refreshed at most
+        # every `_seed_cache_max_age` keyframes and extended frame-
+        # consistently by dead-reckoned increments in between.
+        self._seed_cache = None
+        self._seed_cache_max_age = 25
 
         self._solver_cfg = SolverConfig(
             obs_model=self.model.name,
@@ -259,7 +266,47 @@ class SrbaEngine:
                     return np.asarray(self.np_group.compose(
                         self.np_group.inverse(G_new), G_t), np.float32)
 
-                G_cache = None
+                def _seed_globals():
+                    """Optimized global estimate, throttled: rebuilt at most
+                    every `_seed_cache_max_age` KFs (sync + spanning-tree
+                    compose); newer KFs are covered frame-consistently by
+                    dead-reckoned increments from the cache's anchor."""
+                    c = self._seed_cache
+                    if c is None or (self.state.num_kfs - c[0]
+                                     > self._seed_cache_max_age):
+                        G, dist = self.create_complete_spanning_tree(0)
+                        c = (self.state.num_kfs, G, dist)
+                        self._seed_cache = c
+                    return c
+
+                def _global_est(k):
+                    """Global estimate of existing KF k (None if unknown)."""
+                    n0, G, dist = _seed_globals()
+                    if k < len(G) and k in dist:
+                        return G[k]
+                    # KF newer than the cache: extend via dead reckoning
+                    # from the newest cached KF on the chain.
+                    anchor = n0 - 1
+                    if anchor in dist and k < len(self._G_dr):
+                        return self.np_group.compose(
+                            G[anchor], self.np_group.compose(
+                                self.np_group.inverse(self._G_dr[anchor]),
+                                self._G_dr[k]))
+                    return None
+
+                def _global_est_new():
+                    """Global estimate of the NEW keyframe (pre-edges)."""
+                    if G_dr_new is None:
+                        return None
+                    n0, G, dist = _seed_globals()
+                    anchor = n0 - 1
+                    if anchor in dist and anchor < len(self._G_dr):
+                        return self.np_group.compose(
+                            G[anchor], self.np_group.compose(
+                                self.np_group.inverse(self._G_dr[anchor]),
+                                G_dr_new))
+                    return G_dr_new
+
                 for which, targets in (("primary", primary_targets),
                                        ("closure", closure_targets)):
                     for t in targets:
@@ -270,23 +317,15 @@ class SrbaEngine:
                             # Local link: dead-reckoned seed (drift between
                             # the new KF and a nearby target is tiny).
                             init = _seed_from(G_dr_new, self._G_dr[t])
-                        elif which == "closure" or self.graph.neighbors(
-                                kf_id):
-                            # Distant re-visit: seed from the OPTIMIZED
-                            # global estimate (one host sync + complete-ST
-                            # compose, paid only per loop closure).
-                            if G_cache is None:
-                                G_cache = \
-                                    self.create_complete_spanning_tree(0)
-                            G, dist = G_cache
-                            if kf_id in dist and t in dist:
-                                init = _seed_from(G[kf_id], G[t])
-                            elif G_dr_new is not None and t in dist:
-                                init = _seed_from(G_dr_new, G[t])
+                        else:
+                            # Distant re-visit (or no odometry anchor): seed
+                            # from the throttled optimized global estimate.
+                            g_new = _global_est_new()
+                            g_t = _global_est(t)
+                            if g_new is not None and g_t is not None:
+                                init = _seed_from(g_new, g_t)
                             else:
                                 init = self.np_group.identity()
-                        else:
-                            init = self.np_group.identity()
                         e = self._add_edge(kf_id, t, init)
                         self.graph.add_edge(kf_id, t)
                         info.created_edge_ids.append(e)
@@ -535,22 +574,28 @@ class SrbaEngine:
         """Global KF poses by composing relative edge poses outward from
         ``root`` over the full BFS tree (reference
         ``create_complete_spanning_tree`` / ``bfs_visitor``; global poses are
-        derived products, never state — SURVEY.md §1.3)."""
+        derived products, never state — SURVEY.md §1.3).  Composition is
+        vectorized per BFS level (O(depth) batched group ops, not O(K)
+        scalar composes — matters at multi-thousand-KF maps)."""
         self.sync()
         dist, parent = self.graph.complete_spanning_tree(root)
         G = np.zeros((self.state.num_kfs, self.group.dim), np.float32)
         G[root] = self.np_group.identity()
-        # parent[n] = (p, edge). Process in BFS order (increasing dist).
-        order = sorted(dist.keys(), key=lambda n: dist[n])
-        for n in order:
-            if n == root:
-                continue
-            p, eid = parent[n]
-            a, b = self.graph.edges[eid]
-            e = self.state.k2k_pose[eid]
-            # Pose of n in p's frame: edge stores T_a<-b.
-            step = e if (a == p and b == n) else self.np_group.inverse(e)
-            G[n] = self.np_group.compose(G[p], step)
+        # Group nodes by BFS depth, then batch-compose level by level.
+        by_level: Dict[int, List[int]] = {}
+        for n, d in dist.items():
+            if n != root:
+                by_level.setdefault(d, []).append(n)
+        for d in sorted(by_level):
+            nodes = np.asarray(by_level[d], np.int32)
+            ps = np.asarray([parent[int(n)][0] for n in nodes], np.int32)
+            eids = np.asarray([parent[int(n)][1] for n in nodes], np.int32)
+            ea = self.state.k2k_from[eids]
+            steps = self.state.k2k_pose[eids].copy()
+            rev = ea != ps        # edge stored (a,b): reversed when a != p
+            if rev.any():
+                steps[rev] = self.np_group.inverse(steps[rev])
+            G[nodes] = self.np_group.compose(G[ps], steps).astype(np.float32)
         return G, dist
 
     def bfs_visitor(self, root: int, max_depth: int, kf_visitor=None,
@@ -686,6 +731,7 @@ class SrbaEngine:
                 dm._whitener_dev, dm._spinv_dev, dm._calib_dev, E, L, N)
             dm.dirty = True
             info_out["windows"] += float(len(wins))
+        self._seed_cache = None   # sweep moved poses wholesale
         if dev_info is not None:
             import jax
             info_out.update({k: float(v) for k, v in
@@ -721,6 +767,7 @@ class SrbaEngine:
                     self.state.num_edges, self.state.num_lms)
             self._G_dr = [np.asarray(G_opt[k], np.float32)
                           for k in range(self.state.num_kfs)]
+            self._seed_cache = None   # poses changed wholesale
         return G_opt, info
 
     def eval_overall_squared_error(self) -> float:

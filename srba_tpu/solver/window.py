@@ -25,9 +25,14 @@ from srba_tpu.graph.spantree import KeyframeGraph
 
 
 def _bucket(n: int, minimum: int) -> int:
+    """Padded capacity ladder: powers of two up to 64, then x4 steps.
+    Every distinct (E, L, N) bucket combination jit-compiles its own
+    program (~seconds on a tunneled TPU), so the ladder coarsens once
+    windows are big enough that padding waste is cheap relative to another
+    compilation."""
     cap = minimum
     while cap < n:
-        cap *= 2
+        cap *= 2 if cap < 64 else 4
     return cap
 
 
