@@ -32,7 +32,7 @@ def _bucket(n: int, minimum: int) -> int:
     compilation."""
     cap = minimum
     while cap < n:
-        cap *= 2 if cap < 64 else 4
+        cap *= 2 if cap < 512 else 4
     return cap
 
 
