@@ -287,7 +287,8 @@ class SrbaEngine:
                     # KF newer than the cache: extend via dead reckoning
                     # from the newest cached KF on the chain.
                     anchor = n0 - 1
-                    if anchor in dist and k < len(self._G_dr):
+                    if anchor in dist and k < len(self._G_dr) \
+                            and anchor < len(self._G_dr):
                         return self.np_group.compose(
                             G[anchor], self.np_group.compose(
                                 self.np_group.inverse(self._G_dr[anchor]),
@@ -642,9 +643,6 @@ class SrbaEngine:
         info_out: Dict[str, float] = {"windows": 0.0}
         dev_info = None
 
-        eff_stride = stride if stride is not None else \
-            (getattr(self.ecp, "submap_size", None)
-             or self.parameters.max_optimize_depth)
         all_roots = plan_sweep_roots(self, stride)
         # Red-black phases: adjacent windows share context (edges/landmarks
         # each treats as fixed), so simultaneous Jacobi-style updates of
@@ -667,31 +665,25 @@ class SrbaEngine:
                 if built is None:
                     continue
                 arrays, plan = built
-                # Ownership: zero the opt mask on already-claimed unknowns.
-                e_own = np.asarray([
-                    1.0 if (arrays.edge_opt[i] > 0
-                            and int(arrays.edge_gids[i]) not in claimed_e)
-                    else 0.0
-                    for i in range(len(arrays.edge_gids))], np.float32)
-                l_own = np.asarray([
-                    1.0 if (arrays.lm_opt[i] > 0
-                            and int(arrays.lm_gids[i]) not in claimed_l)
-                    else 0.0
-                    for i in range(len(arrays.lm_gids))], np.float32)
-                # (pad slots have opt == 0 already)
-                n_e = len(plan.edge_ids)
-                n_l = len(plan.lm_ids)
+                # Ownership: zero the opt mask on already-claimed unknowns
+                # (vectorized; pad slots have opt == 0 already).
+                e_claimed = np.isin(
+                    arrays.edge_gids,
+                    np.fromiter(claimed_e, np.int32, len(claimed_e)))
+                l_claimed = np.isin(
+                    arrays.lm_gids,
+                    np.fromiter(claimed_l, np.int32, len(claimed_l)))
+                e_own = (arrays.edge_opt > 0) & ~e_claimed
+                l_own = (arrays.lm_opt > 0) & ~l_claimed
                 if not (e_own.any() or l_own.any()):
                     continue
-                claimed_e.update(int(g) for i, g in
-                                 enumerate(arrays.edge_gids[:n_e])
-                                 if e_own[i] > 0)
-                claimed_l.update(int(g) for i, g in
-                                 enumerate(arrays.lm_gids[:n_l])
-                                 if l_own[i] > 0)
+                claimed_e.update(arrays.edge_gids[e_own].tolist())
+                claimed_l.update(arrays.lm_gids[l_own].tolist())
+                e_own = e_own.astype(np.float32)
+                l_own = l_own.astype(np.float32)
                 wins.append((arrays, e_own, l_own))
             if not wins:
-                break
+                continue  # this parity phase is empty; others may not be
 
             # Common bucket shape + stacking.
             E = max(a.edge_gids.shape[0] for a, _, _ in wins)

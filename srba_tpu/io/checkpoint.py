@@ -97,8 +97,9 @@ def load_checkpoint(path: str, calib=None, noise=None, sensor_pose=None,
         eng.device_master.upload_from_host(
             st.k2k_pose, st.lm_state, st.num_edges, st.num_lms)
     # Rebuild the dead-reckoned trajectory from the (optimized) loaded poses.
-    G, dist = eng.create_complete_spanning_tree(0)
-    ident = np.asarray(eng.np_group.identity(), np.float32)
-    eng._G_dr = [np.asarray(G[k], np.float32) if k in dist else ident
-                 for k in range(c["num_kfs"])]
+    if c["num_kfs"]:
+        G, dist = eng.create_complete_spanning_tree(0)
+        ident = np.asarray(eng.np_group.identity(), np.float32)
+        eng._G_dr = [np.asarray(G[k], np.float32) if k in dist else ident
+                     for k in range(c["num_kfs"])]
     return eng

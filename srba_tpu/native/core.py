@@ -30,6 +30,9 @@ class NativeCore:
     def __init__(self, max_tree_depth: int):
         lib = get_lib()
         assert lib is not None, "native library unavailable"
+        assert max_tree_depth <= 64, (
+            "native window builder supports max_tree_depth <= 64 "
+            "(fixed path-step buffers); use SRBA_TPU_NO_NATIVE=1 for more")
         self._lib = lib
         self._h = lib.srba_core_new(int(max_tree_depth))
         self._depth = int(max_tree_depth)

@@ -209,6 +209,7 @@ int srba_core_build_window(void* h, int root, int opt_depth, int tree_depth,
                            int* path_edge, int* path_sign) {
   Core* c = static_cast<Core*>(h);
   if (root < 0 || root >= c->num_kfs) return -1;
+  if (tree_depth > 64) return -1;  // Row step buffers are sized [64]
   const int num_lms = (int)c->lm_base.size();
   const int num_edges = (int)c->edge_a.size();
 

@@ -228,24 +228,35 @@ def _make_pgo_jit(cfg: PGOConfig):
     return jax.jit(_make_pgo(cfg))
 
 
+_SPMD_PGO_CACHE: dict = {}
+
+
 def make_pgo_spmd(cfg: PGOConfig, mesh):
     """Edge-sharded SPMD PGO over ``mesh``'s single axis: nodes replicated,
     edge tables split, per-edge reductions psum'ed (see PGOConfig.axis_name).
-    Edge count must be a multiple of the mesh size (pad with w=0 edges)."""
+    Edge count must be a multiple of the mesh size (pad with w=0 edges).
+    Cached per (cfg, mesh) so repeated calls reuse the compiled program."""
     from jax.sharding import PartitionSpec as P
 
     (axis,) = mesh.axis_names
     if cfg.axis_name != axis:
         cfg = dataclasses.replace(cfg, axis_name=axis)
+    key = (cfg, tuple(mesh.shape.items()),
+           tuple(d.id for d in mesh.devices.flat))
+    hit = _SPMD_PGO_CACHE.get(key)
+    if hit is not None:
+        return hit
     solve = _make_pgo(cfg)
     repl = P()
     info_specs = {k: repl for k in ("err_init", "err_final", "iters", "lam",
                                     "cg_iters_total")}
-    return jax.jit(jax.shard_map(
+    fn = jax.jit(jax.shard_map(
         solve, mesh=mesh,
         in_specs=(repl, P(axis), P(axis), P(axis), P(axis)),
         out_specs=(repl, info_specs),
         check_vma=False))
+    _SPMD_PGO_CACHE[key] = fn
+    return fn
 
 
 def optimize_global_pose_graph(problem: dict,

@@ -104,7 +104,15 @@ class SolverConfig:
     axis_name: Optional[str] = None
 
 
+VALID_SOLVERS = ("schur_dense_cholesky", "no_schur_dense_cholesky")
+
+
 def _resolve(cfg: SolverConfig):
+    if cfg.solver not in VALID_SOLVERS:
+        raise ValueError(
+            f"unknown solver {cfg.solver!r}; available: {VALID_SOLVERS} "
+            "(the reference's sparse-Cholesky engines are intentionally not "
+            "replicated on TPU — see SolverConfig.solver)")
     return (GROUPS[cfg.pose_group], OBSERVATION_MODELS[cfg.obs_model],
             LANDMARK_TYPES[cfg.lm_type])
 

@@ -143,8 +143,12 @@ def make_sweep_step_mesh(cfg: SolverConfig, mesh):
                 dl.reshape(-1, lm_master.shape[1]))
             dpose = jax.lax.psum(dpose, axis)
             dlm = jax.lax.psum(dlm, axis)
-            info = {k: jax.lax.psum(v if v.ndim == 0 else jnp.sum(v), axis)
-                    for k, v in _agg_info(info).items()}
+            agg = _agg_info(info)
+            # Cross-device combine mirrors the per-window aggregation:
+            # sums stay sums, maxima stay maxima.
+            info = {k: (jax.lax.pmax(v, axis) if k in ("iters", "lam")
+                        else jax.lax.psum(v, axis))
+                    for k, v in agg.items()}
             return pose_master + dpose, lm_master + dlm, info
 
         repl = P()

@@ -25,7 +25,7 @@ from srba_tpu.graph.spantree import KeyframeGraph
 
 
 def _bucket(n: int, minimum: int) -> int:
-    """Padded capacity ladder: powers of two up to 64, then x4 steps.
+    """Padded capacity ladder: powers of two up to 512, then x4 steps.
     Every distinct (E, L, N) bucket combination jit-compiles its own
     program (~seconds on a tunneled TPU), so the ladder coarsens once
     windows are big enough that padding waste is cheap relative to another
