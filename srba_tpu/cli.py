@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     prob = p.add_argument_group("problem type")
     prob.add_argument("--obs", default="RangeBearing2D",
                       help="observation model (see models.OBSERVATION_MODELS)")
+    prob.add_argument("--sensor-ini",
+                      help="INI file with [CAMERA]/[CAMERA_STEREO]/"
+                           "[SENSOR_POSE] sections (the reference's "
+                           "CConfigFile sensor-calibration flow); overrides "
+                           "the --fx/--fy/... flags")
     prob.add_argument("--sensor-pose-camera", action="store_true",
                       help="mount the sensor with the standard camera axes "
                            "(z forward) on the robot")
@@ -99,6 +104,11 @@ def _make_engine(args, obs_model):
                                  args.baseline)
     sensor_pose = (SensorPoseSE3(CAMERA_SENSOR_POSE_SE3)
                    if args.sensor_pose_camera else SensorPoseNone())
+    if getattr(args, "sensor_ini", None):
+        from srba_tpu.io.config_ini import load_sensor_ini
+        ini_calib, ini_pose = load_sensor_ini(args.sensor_ini, obs_model)
+        calib = ini_calib if ini_calib is not None else calib
+        sensor_pose = ini_pose if ini_pose is not None else sensor_pose
     ecp = {
         "classic_linear_rba": lambda: ClassicLinearRBA(),
         "local_areas_fixed_grid": lambda: LocalAreasFixedGrid(

@@ -600,16 +600,37 @@ class SrbaEngine:
         return G, dist
 
     def bfs_visitor(self, root: int, max_depth: int, kf_visitor=None,
-                    k2k_visitor=None):
-        """Generic BFS traversal with callbacks (reference ``bfs_visitor``)."""
+                    k2k_visitor=None, lm_visitor=None, k2f_visitor=None):
+        """Generic BFS traversal with callbacks — the four-visitor analog of
+        the reference's ``bfs_visitor<KF_VISITOR, FEAT_VISITOR, K2K_VISITOR,
+        K2F_VISITOR>``:
+
+        * ``kf_visitor(kf_id, depth)`` per reached keyframe;
+        * ``k2k_visitor(edge_id, parent_kf, child_kf)`` per tree edge;
+        * ``lm_visitor(lm_id, base_kf, depth)`` per landmark whose base KF
+          is reached (once, at the base's depth — the FEAT visitor);
+        * ``k2f_visitor(obs_id, kf_id, lm_id)`` per observation made from a
+          reached keyframe.
+        """
         dist, parent = self.graph.bfs_tree(root, max_depth)
         order = sorted(dist.keys(), key=lambda n: (dist[n], n))
+        by_base: Dict[int, List[int]] = {}
+        if lm_visitor is not None:
+            for lm in range(self.state.num_lms):
+                by_base.setdefault(int(self.state.lm_base[lm]),
+                                   []).append(lm)
         for n in order:
             if kf_visitor is not None:
                 kf_visitor(n, dist[n])
             if n != root and k2k_visitor is not None:
                 p, eid = parent[n]
                 k2k_visitor(eid, p, n)
+            if k2f_visitor is not None:
+                for o in self.state.kf_obs[n]:
+                    k2f_visitor(o, n, int(self.state.obs_lm[o]))
+            if lm_visitor is not None:
+                for lm in by_base.get(n, ()):
+                    lm_visitor(lm, n, dist[n])
         return dist
 
     def refine_map(self, sweeps: int = 1, stride: Optional[int] = None,
