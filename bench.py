@@ -146,21 +146,21 @@ def main():
     print(f"steady pass: {dt:.3f}s  ({kf_per_sec:.1f} KF/s)  "
           f"ATE={ate:.4f}  overall_err={err:.4f}", file=sys.stderr)
 
-    # Secondary metrics (stderr only; the driver consumes the single JSON
-    # line below).
-    try:
-        bench_stereo()
-        bench_pgo()
-    except Exception as ex:  # secondary metrics must never kill the bench
-        print(f"secondary benches failed: {ex!r}", file=sys.stderr)
-
+    # Primary metric FIRST (the driver consumes this single JSON line; the
+    # secondary metrics below are stderr-only and must not gate it).
     print(json.dumps({
         "metric": "keyframes/sec (LM+Schur, config#1 2D range-bearing "
                   f"{NUM_KFS}-KF loop, ATE={ate:.4f})",
         "value": round(kf_per_sec, 2),
         "unit": "keyframes/sec",
         "vs_baseline": round(kf_per_sec / REF_KF_PER_SEC, 3),
-    }))
+    }), flush=True)
+
+    try:
+        bench_stereo()
+        bench_pgo()
+    except Exception as ex:  # secondary metrics must never kill the bench
+        print(f"secondary benches failed: {ex!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":
