@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     srba.add_argument("--min-obs-loop-closure", type=int, default=4)
     srba.add_argument("--obs-noise-std", type=float, default=1.0,
                       help="observation noise sigma for whitening")
+    srba.add_argument("--obs-noise-cov",
+                      help="full constant observation covariance, row-major "
+                           "obs_dim x obs_dim values (comma/space separated) "
+                           "— the reference's observation_noise_constant_"
+                           "matrix option; overrides --obs-noise-std")
 
     out = p.add_argument_group("output")
     out.add_argument("--global-opt", action="store_true",
@@ -81,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
     out.add_argument("--export-scene-json")
     out.add_argument("--save-checkpoint")
     out.add_argument("--resume-checkpoint")
+    out.add_argument("--limit-kfs", type=int,
+                     help="stop after this many keyframes (with "
+                          "--save-checkpoint this simulates preemption: "
+                          "resume later with --resume-checkpoint)")
     out.add_argument("--json", action="store_true",
                      help="print final summary as one JSON line")
     out.add_argument("--verbose", type=int, default=0)
@@ -91,8 +100,9 @@ def _make_engine(args, obs_model):
     from srba_tpu.ecps import (ClassicLinearRBA, LocalAreasFixedGrid,
                                LocalAreasVar1)
     from srba_tpu.engine.engine import SrbaEngine, SrbaParams
-    from srba_tpu.models.noise import NoiseIdentity
-    from srba_tpu.models.observations import CameraCalib, StereoCalib
+    from srba_tpu.models.noise import NoiseConstantMatrix, NoiseIdentity
+    from srba_tpu.models.observations import (OBSERVATION_MODELS, CameraCalib,
+                                              StereoCalib)
     from srba_tpu.models.sensor_pose import SensorPoseNone, SensorPoseSE3
     from srba_tpu.ops.np_lie import CAMERA_SENSOR_POSE_SE3
 
@@ -104,11 +114,24 @@ def _make_engine(args, obs_model):
                                  args.baseline)
     sensor_pose = (SensorPoseSE3(CAMERA_SENSOR_POSE_SE3)
                    if args.sensor_pose_camera else SensorPoseNone())
+    obs_dim = OBSERVATION_MODELS[obs_model].obs_dim
+    noise = NoiseIdentity(args.obs_noise_std)
+    if getattr(args, "obs_noise_cov", None):
+        vals = np.asarray(
+            [float(v) for v in args.obs_noise_cov.replace(",", " ").split()],
+            np.float64)
+        if vals.size != obs_dim * obs_dim:
+            raise SystemExit(
+                f"--obs-noise-cov needs {obs_dim * obs_dim} values for "
+                f"{obs_model} ({obs_dim}-d observations), got {vals.size}")
+        noise = NoiseConstantMatrix(vals.reshape(obs_dim, obs_dim))
     if getattr(args, "sensor_ini", None):
-        from srba_tpu.io.config_ini import load_sensor_ini
+        from srba_tpu.io.config_ini import load_noise_ini, load_sensor_ini
         ini_calib, ini_pose = load_sensor_ini(args.sensor_ini, obs_model)
         calib = ini_calib if ini_calib is not None else calib
         sensor_pose = ini_pose if ini_pose is not None else sensor_pose
+        ini_noise = load_noise_ini(args.sensor_ini, obs_dim)
+        noise = ini_noise if ini_noise is not None else noise
     ecp = {
         "classic_linear_rba": lambda: ClassicLinearRBA(),
         "local_areas_fixed_grid": lambda: LocalAreasFixedGrid(
@@ -125,8 +148,7 @@ def _make_engine(args, obs_model):
         verbose=args.verbose,
     )
     return SrbaEngine(obs_model, calib=calib, sensor_pose=sensor_pose,
-                      ecp=ecp, noise=NoiseIdentity(args.obs_noise_std),
-                      params=params)
+                      ecp=ecp, noise=noise, params=params)
 
 
 def _synthetic(args):
@@ -197,8 +219,11 @@ def main(argv=None) -> int:
         eng = _make_engine(args, obs_model)
         start = 0
 
+    stop = len(frames)
+    if args.limit_kfs is not None:
+        stop = min(stop, int(args.limit_kfs))
     t0 = time.perf_counter()
-    for k in range(start, len(frames)):
+    for k in range(start, stop):
         obs = [Observation(lm_id=m, z=z) for m, z in frames[k]]
         edge_init = None
         if k > 0 and odometry[k - 1] is not None:

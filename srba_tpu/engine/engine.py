@@ -45,6 +45,12 @@ class SrbaParams:
     use_robust_kernel: bool = False
     kernel_param: float = 3.0
     verbose: int = 0
+    # Window-size bound: keep only the newest N in-window observations per
+    # landmark when building a local window (None = all).  Guards against
+    # padded-window blowup in dense re-visit regimes (many keyframes
+    # re-observing the same landmarks => N_obs grows with visit count, and a
+    # giant bucket shape forces a fresh, possibly enormous, XLA compile).
+    extra_obs_per_lm_cap: Optional[int] = None
     # LM solver knobs
     max_iters: int = 20
     lam0: float = 1e-4
@@ -482,14 +488,16 @@ class SrbaEngine:
                  else self.parameters.max_optimize_depth)
         master = self.device_master
         with self.profiler.scope("window_build"):
+            cap = self.parameters.extra_obs_per_lm_cap
             if master is not None and self.native is not None:
                 built = self.native.build_window(
                     self.state, root_kf, depth,
-                    self.parameters.max_tree_depth)
+                    self.parameters.max_tree_depth, obs_per_lm_cap=cap)
             else:
                 built = build_window(
                     self.state, self.graph, root_kf, depth,
                     self.parameters.max_tree_depth,
+                    extra_obs_per_lm_cap=cap,
                     gather_floats=master is None)
         if built is None:
             if master is not None:
@@ -664,25 +672,34 @@ class SrbaEngine:
         info_out: Dict[str, float] = {"windows": 0.0}
         dev_info = None
 
-        all_roots = plan_sweep_roots(self, stride)
-        # Red-black phases: adjacent windows share context (edges/landmarks
-        # each treats as fixed), so simultaneous Jacobi-style updates of
-        # neighbors can overshoot; alternating parities makes each phase's
-        # windows far apart (fully parallel) while neighbors update
-        # sequentially (Gauss-Seidel).
-        phases = [all_roots[0::2], all_roots[1::2]]
+        if stride is None:
+            stride = getattr(self.ecp, "submap_size", None) \
+                or self.parameters.max_optimize_depth
+        stride = max(1, int(stride))
         for si in range(max(1, int(sweeps)) * 2):
-            roots = phases[si % 2]
+            # Stagger the root lattice between FULL sweeps (offset shifts by
+            # half a stride every other sweep) so window boundaries move and
+            # boundary unknowns get interior treatment in alternate sweeps;
+            # within a sweep, red-black phases keep adjacent windows from
+            # updating simultaneously (Jacobi overshoot): each phase's
+            # windows are far apart (fully parallel) while neighbors update
+            # sequentially (Gauss-Seidel).
+            offset = ((si // 2) % 2) * (stride // 2)
+            all_roots = plan_sweep_roots(self, stride, offset=offset)
+            roots = [all_roots[0::2], all_roots[1::2]][si % 2]
             wins = []
             claimed_e: set = set()
             claimed_l: set = set()
+            cap = self.parameters.extra_obs_per_lm_cap
             for root in roots:
                 if self.native is not None:
                     built = self.native.build_window(
-                        self.state, root, depth, tree_depth)
+                        self.state, root, depth, tree_depth,
+                        obs_per_lm_cap=cap)
                 else:
                     built = build_window(self.state, self.graph, root, depth,
-                                         tree_depth, gather_floats=False)
+                                         tree_depth, extra_obs_per_lm_cap=cap,
+                                         gather_floats=False)
                 if built is None:
                     continue
                 arrays, plan = built

@@ -1,8 +1,10 @@
 """Checkpoint / resume — a capability the reference LACKS entirely
 (``TRBA_Problem_state`` has no serialization; recovery = re-run the dataset;
 SURVEY.md §6).  First-class here: the full engine state (SoA tables, graph
-topology, landmark id map, parameters) round-trips through one ``.npz`` file,
-so a mapping session can resume mid-sequence after preemption.
+topology, landmark id map, parameters, AND the model configuration —
+calibration, noise model, sensor mounting pose, edge-creation policy)
+round-trips through one ``.npz`` file, so a mapping session can resume
+mid-sequence after preemption with zero caller-side reconstruction.
 """
 
 from __future__ import annotations
@@ -13,7 +15,87 @@ from dataclasses import asdict
 import numpy as np
 
 
-CHECKPOINT_VERSION = 1
+CHECKPOINT_VERSION = 2
+
+
+def _encode_calib(calib):
+    if calib is None:
+        return None
+    import dataclasses
+
+    import jax
+    kind = type(calib).__name__
+    vals = {f.name: np.asarray(jax.device_get(getattr(calib, f.name))).tolist()
+            for f in dataclasses.fields(calib)}
+    return {"kind": kind, "values": vals}
+
+
+def _decode_calib(enc):
+    if enc is None:
+        return None
+    import jax.numpy as jnp
+
+    from srba_tpu.models.observations import CameraCalib, StereoCalib
+    kinds = {"CameraCalib": CameraCalib, "StereoCalib": StereoCalib}
+    cls = kinds.get(enc["kind"])
+    if cls is None:
+        raise ValueError(
+            f"checkpoint has unknown calibration kind {enc['kind']!r}; "
+            "pass calib= explicitly to load_checkpoint")
+    return cls(**{k: jnp.asarray(v, jnp.float32)
+                  for k, v in enc["values"].items()})
+
+
+def _encode_noise(noise):
+    if noise.name == "identity":
+        return {"name": "identity", "std": float(noise.std)}
+    if noise.name == "constant_matrix":
+        return {"name": "constant_matrix", "cov": noise.cov.tolist()}
+    raise ValueError(
+        f"cannot serialize custom noise model {type(noise).__name__}; "
+        "pass noise= explicitly on resume")
+
+
+def _decode_noise(enc):
+    from srba_tpu.models.noise import NoiseConstantMatrix, NoiseIdentity
+    if enc["name"] == "identity":
+        return NoiseIdentity(enc["std"])
+    return NoiseConstantMatrix(np.asarray(enc["cov"], np.float64))
+
+
+def _encode_sensor_pose(sp, group):
+    if sp.is_identity:
+        return {"name": "none"}
+    import jax
+    return {"name": "se3",
+            "pose": np.asarray(jax.device_get(sp.pose_for(group))).tolist()}
+
+
+def _decode_sensor_pose(enc):
+    from srba_tpu.models.sensor_pose import SensorPoseNone, SensorPoseSE3
+    if enc["name"] == "none":
+        return SensorPoseNone()
+    return SensorPoseSE3(np.asarray(enc["pose"], np.float32))
+
+
+def _encode_ecp(ecp):
+    from srba_tpu.ecps import ECPS
+    name = getattr(ecp, "name", None)
+    if name not in ECPS:
+        raise ValueError(
+            f"cannot serialize custom edge-creation policy "
+            f"{type(ecp).__name__}; pass ecp= explicitly on resume")
+    out = {"name": name}
+    for k in ("submap_size", "min_obs_count_loop_closure"):
+        if hasattr(ecp, k):
+            out[k] = int(getattr(ecp, k))
+    return out
+
+
+def _decode_ecp(enc):
+    from srba_tpu.ecps import ECPS
+    kw = {k: v for k, v in enc.items() if k != "name"}
+    return ECPS[enc["name"]](**kw)
 
 
 def save_checkpoint(engine, path: str) -> None:
@@ -24,6 +106,10 @@ def save_checkpoint(engine, path: str) -> None:
         "obs_model": engine.model.name,
         "lm_type": engine.lm_type.name,
         "params": asdict(engine.parameters),
+        "calib": _encode_calib(engine.calib),
+        "noise": _encode_noise(engine.noise),
+        "sensor_pose": _encode_sensor_pose(engine.sensor_pose, engine.group),
+        "ecp": _encode_ecp(engine.ecp),
         "lm_id_map": {str(k): v for k, v in engine._lm_id_map.items()},
         "counts": {
             "num_kfs": st.num_kfs, "num_edges": st.num_edges,
@@ -47,15 +133,25 @@ def save_checkpoint(engine, path: str) -> None:
 
 def load_checkpoint(path: str, calib=None, noise=None, sensor_pose=None,
                     ecp=None):
-    """Rebuild a fully-functional engine from a checkpoint.  Non-serializable
+    """Rebuild a fully-functional engine from a checkpoint.  All model
     configuration (calibration pytree, noise model, sensor pose, ECP) is
-    re-supplied by the caller exactly as at construction time."""
+    restored from the checkpoint itself; the keyword arguments override it
+    (needed only for custom user classes the checkpoint cannot encode)."""
     from srba_tpu.engine.engine import SrbaEngine, SrbaParams
 
     data = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(data["meta"]).decode())
     assert meta["version"] == CHECKPOINT_VERSION, (
         f"unsupported checkpoint version {meta['version']}")
+
+    if calib is None:
+        calib = _decode_calib(meta["calib"])
+    if noise is None:
+        noise = _decode_noise(meta["noise"])
+    if sensor_pose is None:
+        sensor_pose = _decode_sensor_pose(meta["sensor_pose"])
+    if ecp is None:
+        ecp = _decode_ecp(meta["ecp"])
 
     eng = SrbaEngine(
         meta["obs_model"], lm_type=meta["lm_type"], calib=calib, noise=noise,

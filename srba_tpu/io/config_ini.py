@@ -23,6 +23,11 @@ z = 0.0
 yaw = 0.0           ; radians
 pitch = 0.0
 roll = 0.0
+
+[OBS_NOISE]         ; observation noise model
+type = constant_matrix   ; or "identity"
+std = 1.0                ; identity: isotropic sigma
+cov = 0.01 0 0 0.04      ; constant_matrix: row-major obs_dim x obs_dim
 ```
 """
 
@@ -68,3 +73,31 @@ def load_sensor_ini(path: str, obs_model: str
             s.getfloat("roll", 0.0)), np.float32)
         sensor_pose = SensorPoseSE3(pose)
     return calib, sensor_pose
+
+
+def load_noise_ini(path: str, obs_dim: int) -> Optional[Any]:
+    """Parse the ``[OBS_NOISE]`` section into a noise model (None when the
+    section is absent) — the INI path to the reference's
+    ``observation_noise_constant_matrix`` option."""
+    import numpy as np
+
+    from srba_tpu.models.noise import NoiseConstantMatrix, NoiseIdentity
+
+    cp = configparser.ConfigParser(inline_comment_prefixes=(";", "#"))
+    with open(path) as f:
+        cp.read_file(f)
+    if not cp.has_section("OBS_NOISE"):
+        return None
+    s = cp["OBS_NOISE"]
+    kind = s.get("type", "identity").strip().lower()
+    if kind == "identity":
+        return NoiseIdentity(s.getfloat("std", 1.0))
+    if kind == "constant_matrix":
+        vals = np.asarray([float(v) for v in s.get("cov").split()],
+                          np.float64)
+        if vals.size != obs_dim * obs_dim:
+            raise ValueError(
+                f"[OBS_NOISE] cov needs {obs_dim * obs_dim} row-major values "
+                f"for a {obs_dim}-d observation, got {vals.size}")
+        return NoiseConstantMatrix(vals.reshape(obs_dim, obs_dim))
+    raise ValueError(f"unknown [OBS_NOISE] type {kind!r}")

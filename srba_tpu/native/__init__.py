@@ -70,7 +70,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ip, ip]
     lib.srba_core_build_window.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ip, ip, ip, ip, ip, ip, ip, ip, ip, ip]
     return lib
 

@@ -77,10 +77,15 @@ class NativeCore:
         return [(int(eid[i]), int(sign[i])) for i in range(n)]
 
     def build_window(self, state, root: int, opt_depth: int,
-                     tree_depth: int) -> Optional[Tuple]:
+                     tree_depth: int,
+                     obs_per_lm_cap: Optional[int] = None
+                     ) -> Optional[Tuple]:
         """Native replacement for ``solver.window.build_window(...,
         gather_floats=False)``: returns ``(WindowArrays, WindowPlan)`` with
-        obs_z gathered from the host state table by the emitted obs ids."""
+        obs_z gathered from the host state table by the emitted obs ids.
+        ``obs_per_lm_cap`` bounds in-window observations per landmark
+        (newest kept) — the window-size guard for dense re-visit regimes."""
+        cap_per_lm = 0 if obs_per_lm_cap is None else int(obs_per_lm_cap)
         lib, h = self._lib, self._h
         counts = np.zeros(3, np.int32)
         # Start from the last successful bucket shape: windows grow slowly,
@@ -98,7 +103,8 @@ class NativeCore:
             path_edge = np.zeros((N, tree_depth), np.int32)
             path_sign = np.zeros((N, tree_depth), np.int32)
             rc = lib.srba_core_build_window(
-                h, root, opt_depth, tree_depth, E, L, N, _ptr(counts),
+                h, root, opt_depth, tree_depth, E, L, N, cap_per_lm,
+                _ptr(counts),
                 _ptr(edge_gids), _ptr(edge_opt), _ptr(lm_gids), _ptr(lm_opt),
                 _ptr(obs_ids), _ptr(obs_lm_local), _ptr(obs_valid),
                 _ptr(path_edge), _ptr(path_sign))

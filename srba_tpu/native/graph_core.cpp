@@ -197,11 +197,14 @@ int srba_core_path(void* h, int src, int dst, int depth,
 //   obs_lm_local[cap_N], obs_valid[cap_N]
 //   path_edge[cap_N * tree_depth], path_sign[cap_N * tree_depth]
 // out_counts = {E_real, L_real, N_real}.
+// obs_per_lm_cap > 0 keeps only the newest cap in-window observations per
+// landmark (window-size bound: mirrors window.py's extra_obs_per_lm_cap).
 // Returns 0 ok; -1 nothing to optimize; 1..3 = cap_E/cap_L/cap_N too small
 // (out_counts then holds the required sizes; caller re-buckets and retries).
 // ---------------------------------------------------------------------------
 int srba_core_build_window(void* h, int root, int opt_depth, int tree_depth,
                            int cap_E, int cap_L, int cap_N,
+                           int obs_per_lm_cap,
                            int* out_counts,
                            int* edge_gids, int* edge_opt,
                            int* lm_gids, int* lm_opt,
@@ -259,11 +262,21 @@ int srba_core_build_window(void* h, int root, int opt_depth, int tree_depth,
   struct Row { int oid; int len; int step_le[64]; int step_sign[64]; };
   std::vector<Row> rows;
   std::vector<int> peid(tree_depth), psign(tree_depth);
+  std::vector<int> elig;
   int bfs_src = -1;  // the epoch-stamped scratch holds ONE source's tree
   for (int l : lms) {
-    for (int o : c->lm_obs[l]) {
+    // In-window observations of this landmark, insertion order; with a cap,
+    // keep only the NEWEST cap of them (matches window.py's tail slice —
+    // newest observations carry the freshest geometry).
+    elig.clear();
+    for (int o : c->lm_obs[l])
+      if (in_win[c->obs_kf[o]]) elig.push_back(o);
+    size_t e_start = 0;
+    if (obs_per_lm_cap > 0 && (int)elig.size() > obs_per_lm_cap)
+      e_start = elig.size() - (size_t)obs_per_lm_cap;
+    for (size_t ei = e_start; ei < elig.size(); ++ei) {
+      int o = elig[ei];
       int src = c->obs_kf[o];
-      if (!in_win[src]) continue;
       int dst = c->lm_base[l];
       // Path via cached BFS when src repeats consecutively (obs of one lm
       // often share observers across lms; recompute otherwise — bounded).

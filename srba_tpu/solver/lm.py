@@ -20,7 +20,9 @@ Design (deliberately not a port):
   scattered (one-hot einsum — an MXU matmul, not an XLA scatter) into
   ``[N*od, E*pdof]`` and the reduced camera system is formed by plain
   matmuls; landmark blocks stay batched ``[L, ldof, ldof]`` and are inverted
-  in closed form by ``jnp.linalg.inv``.  Sparsity across the *map* is
+  by the unrolled batched ``spd_inverse`` (``ops/block_linalg.py`` — 46x
+  faster than ``jnp.linalg.inv`` at these shapes).  Sparsity across the
+  *map* is
   delivered by the bounded window (the SRBA thesis), not by sparse matrix
   storage — the MXU eats small dense systems for free.
 * The LM loop is a ``lax.while_loop`` over fixed-shape state: one device
@@ -294,12 +296,20 @@ def make_solver_impl(cfg: SolverConfig):
         err0 = _error(b.edge_pose, b.lm_state, b)
 
         def cond(s):
-            edge, lm, lam, err, it, rej, done = s
+            edge, lm, lam, err, it, rej, done, neqs = s
             return jnp.logical_and(jnp.logical_not(done), it < cfg.max_iters)
 
         def body(s):
-            edge, lm, lam, err, it, rej, done = s
-            Hp, gp, Hf, gf, Hpf = _build_normal_eqs(edge, lm, b)
+            edge, lm, lam, err, it, rej, done, neqs = s
+            # A rejected step leaves (edge, lm) unchanged — only lambda moved
+            # — so the normal equations from the previous linearization are
+            # still exact: reuse them instead of re-running the Jacobian /
+            # Hessian assembly (the dominant cost of an iteration).
+            neqs = jax.lax.cond(
+                rej > 0,
+                lambda: neqs,
+                lambda: _build_normal_eqs(edge, lm, b))
+            Hp, gp, Hf, gf, Hpf = neqs
             dp, df = _solve_delta(Hp, gp, Hf, gf, Hpf, lam, b)
             cand_e, cand_l = _apply(edge, lm, dp, df)
             err_new = _error(cand_e, cand_l, b)
@@ -318,13 +328,19 @@ def make_solver_impl(cfg: SolverConfig):
             done = jnp.logical_or(converged, rej >= cfg.max_consec_rejects)
             done = jnp.logical_or(done, err <= 1e-12)
             err = jnp.where(accept, err_new, err)
-            return (edge, lm, lam, err, it + 1, rej, done)
+            return (edge, lm, lam, err, it + 1, rej, done, neqs)
 
+        E, L = b.edge_pose.shape[0], b.lm_state.shape[0]
+        P = E * pdof
+        dt = b.edge_pose.dtype
+        neqs0 = (jnp.zeros((P, P), dt), jnp.zeros((P,), dt),
+                 jnp.zeros((L, ldof, ldof), dt), jnp.zeros((L, ldof), dt),
+                 jnp.zeros((L, P, ldof), dt))
         init = (b.edge_pose, b.lm_state,
                 jnp.asarray(cfg.lam0, b.edge_pose.dtype), err0,
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-                jnp.asarray(False))
-        edge, lm, lam, err, it, _, _ = jax.lax.while_loop(cond, body, init)
+                jnp.asarray(False), neqs0)
+        edge, lm, lam, err, it, _, _, _ = jax.lax.while_loop(cond, body, init)
         info = {
             "err_init": err0,
             "err_final": err,

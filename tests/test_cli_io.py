@@ -81,6 +81,89 @@ class TestCheckpoint:
         assert eng2.eval_overall_squared_error() == pytest.approx(
             eng.eval_overall_squared_error(), rel=1e-5)
 
+    def test_configuration_fidelity(self, tmp_path):
+        """Checkpoint meta restores calib / noise / sensor pose / ECP —
+        resuming a stereo run must not silently rebuild the engine with
+        defaults (the round-1 hole: cli resume passed none of these)."""
+        import jax
+
+        from srba_tpu.models.noise import NoiseConstantMatrix
+        from srba_tpu.models.observations import StereoCalib
+        from srba_tpu.models.sensor_pose import SensorPoseSE3
+        from srba_tpu.ops.np_lie import CAMERA_SENSOR_POSE_SE3
+        from srba_tpu.utils.datasets import make_world_loop_3d
+
+        calib = StereoCalib.make(fx=210.0, fy=190.0, cx=155.0, cy=125.0,
+                                 baseline=0.14)
+        cov = np.diag([0.09, 0.09, 0.16, 0.16])
+        eng = SrbaEngine(
+            "StereoCamera", calib=calib,
+            noise=NoiseConstantMatrix(cov),
+            sensor_pose=SensorPoseSE3(CAMERA_SENSOR_POSE_SE3),
+            ecp=LocalAreasFixedGrid(submap_size=7,
+                                    min_obs_count_loop_closure=5),
+            params=SrbaParams(max_tree_depth=3, max_optimize_depth=3))
+        world = make_world_loop_3d(num_kfs=6, radius=6.0, num_landmarks=60,
+                                   seed=4)
+        ds = observe(world, "StereoCamera", calib=calib, noise_std=0.3,
+                     sensor_range=8.0, odo_noise_std=0.01, seed=4)
+        for k, frame in enumerate(ds.frames):
+            eng.define_new_keyframe(
+                [Observation(lm_id=m, z=z) for m, z in frame],
+                edge_init={k - 1: ds.odometry[k - 1]} if k > 0 else None)
+        p = str(tmp_path / "ck.npz")
+        save_checkpoint(eng, p)
+        eng2 = load_checkpoint(p)  # NO config kwargs: all from the file
+        assert float(jax.device_get(eng2.calib.baseline)) == pytest.approx(
+            0.14)
+        assert float(jax.device_get(eng2.calib.fx)) == pytest.approx(210.0)
+        assert eng2.noise.name == "constant_matrix"
+        np.testing.assert_allclose(eng2.noise.cov, cov)
+        assert not eng2.sensor_pose.is_identity
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(eng2.sensor_pose.pose_for(eng2.group))),
+            np.asarray(CAMERA_SENSOR_POSE_SE3), rtol=1e-6)
+        assert eng2.ecp.name == "local_areas_fixed_grid"
+        assert eng2.ecp.submap_size == 7
+        assert eng2.ecp.min_obs_count_loop_closure == 5
+        np.testing.assert_allclose(eng2._whitener, eng._whitener, rtol=1e-6)
+        # The resumed engine keeps optimizing (calib present => no crash).
+        frame_obs = [Observation(lm_id=m, z=z) for m, z in ds.frames[-1]]
+        info = eng2.define_new_keyframe(frame_obs)
+        assert "err_final" in info.optimize_results
+
+    def test_kill_and_resume_matches_uninterrupted(self, tmp_path):
+        """A run preempted mid-sequence and resumed from its checkpoint
+        finishes with the same ATE as the uninterrupted run."""
+        world = make_world_loop_2d(num_kfs=20, radius=6.0, num_landmarks=50,
+                                   seed=5)
+        ds = observe(world, "RangeBearing2D", noise_std=0.005,
+                     sensor_range=5.0, odo_noise_std=0.01, seed=5)
+
+        def feed(eng, lo, hi):
+            for k in range(lo, hi):
+                eng.define_new_keyframe(
+                    [Observation(lm_id=m, z=z) for m, z in ds.frames[k]],
+                    edge_init={k - 1: ds.odometry[k - 1]} if k > 0 else None)
+
+        params = SrbaParams(max_tree_depth=3, max_optimize_depth=3)
+        eng_a = SrbaEngine("RangeBearing2D", params=params)
+        feed(eng_a, 0, 20)
+        Ga, _ = eng_a.create_complete_spanning_tree(0)
+        ate_a = ate_rmse(Ga[:, :2], world.gt_poses[:, :2])
+
+        eng_b = SrbaEngine("RangeBearing2D", params=params)
+        feed(eng_b, 0, 10)
+        p = str(tmp_path / "ck.npz")
+        save_checkpoint(eng_b, p)
+        del eng_b                    # "kill"
+        eng_c = load_checkpoint(p)
+        feed(eng_c, 10, 20)
+        Gc, _ = eng_c.create_complete_spanning_tree(0)
+        ate_c = ate_rmse(Gc[:, :2], world.gt_poses[:, :2])
+        assert ate_c == pytest.approx(ate_a, abs=0.01)
+        assert ate_c < 0.15
+
 
 class TestLocalAreasECP:
     def test_two_revolutions_create_loop_closures(self):

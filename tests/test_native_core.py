@@ -64,13 +64,15 @@ def test_path_parity(seed):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_window_parity(seed):
+@pytest.mark.parametrize("cap", [None, 2])
+def test_window_parity(seed, cap):
     st, g, nc = _random_problem(seed)
     rng = np.random.default_rng(seed + 200)
     roots = list(rng.integers(1, st.num_kfs, size=12)) + [st.num_kfs - 1]
     for root in roots:
-        py = build_window(st, g, int(root), 3, 4, gather_floats=False)
-        nat = nc.build_window(st, int(root), 3, 4)
+        py = build_window(st, g, int(root), 3, 4, extra_obs_per_lm_cap=cap,
+                          gather_floats=False)
+        nat = nc.build_window(st, int(root), 3, 4, obs_per_lm_cap=cap)
         assert (py is None) == (nat is None), f"root={root}"
         if py is None:
             continue
