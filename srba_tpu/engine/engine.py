@@ -97,7 +97,15 @@ class SrbaEngine:
         params: Optional[SrbaParams] = None,
         dtype=np.float32,
         device_master: bool = True,
+        mesh=None,
     ):
+        # SPMD window solves: with a mesh, optimize_local_area runs the
+        # obs-sharded solver over it (multi-host capable: every process
+        # passes identical full host arrays — see parallel/multihost.py).
+        # The single-device device-master fast path is mutually exclusive.
+        if mesh is not None:
+            device_master = False
+        self.mesh = mesh
         self.model = OBSERVATION_MODELS[obs_model]
         self.group = self.model.pose_group
         self.np_group = np_group_for(self.group)
@@ -531,21 +539,40 @@ class SrbaEngine:
                     arrays.path_edge, arrays.path_sign, arrays.obs_z)
 
         with self.profiler.scope("device_solve"):
-            batch = WindowBatch(
-                edge_pose=jnp.asarray(arrays.edge_pose),
-                edge_opt=jnp.asarray(arrays.edge_opt),
-                lm_state=jnp.asarray(arrays.lm_state),
-                lm_opt=jnp.asarray(arrays.lm_opt),
-                obs_z=jnp.asarray(arrays.obs_z),
-                obs_lm=jnp.asarray(arrays.obs_lm),
-                path_edge=jnp.asarray(arrays.path_edge),
-                path_sign=jnp.asarray(arrays.path_sign),
-                obs_valid=jnp.asarray(arrays.obs_valid),
-                whitener=jnp.asarray(self._whitener),
-                sensor_pose_inv=jnp.asarray(self._sensor_pose_inv),
-                calib=self.calib,
-            )
-            solve, _ = get_solver(self._solver_cfg)
+            if self.mesh is not None:
+                # SPMD path: keep every leaf an UNCOMMITTED host array
+                # (numpy) — in multi-process runs JAX places per-device
+                # shards from each process's identical full copy; a
+                # committed single-device jnp array would be rejected.
+                from srba_tpu.parallel.sharding import make_spmd_solver
+                batch = WindowBatch(
+                    edge_pose=arrays.edge_pose, edge_opt=arrays.edge_opt,
+                    lm_state=arrays.lm_state, lm_opt=arrays.lm_opt,
+                    obs_z=arrays.obs_z, obs_lm=arrays.obs_lm,
+                    path_edge=arrays.path_edge,
+                    path_sign=arrays.path_sign.astype(np.float32),
+                    obs_valid=arrays.obs_valid,
+                    whitener=self._whitener,
+                    sensor_pose_inv=self._sensor_pose_inv,
+                    calib=self._calib_np,
+                )
+                solve, _ = make_spmd_solver(self._solver_cfg, self.mesh)
+            else:
+                batch = WindowBatch(
+                    edge_pose=jnp.asarray(arrays.edge_pose),
+                    edge_opt=jnp.asarray(arrays.edge_opt),
+                    lm_state=jnp.asarray(arrays.lm_state),
+                    lm_opt=jnp.asarray(arrays.lm_opt),
+                    obs_z=jnp.asarray(arrays.obs_z),
+                    obs_lm=jnp.asarray(arrays.obs_lm),
+                    path_edge=jnp.asarray(arrays.path_edge),
+                    path_sign=jnp.asarray(arrays.path_sign),
+                    obs_valid=jnp.asarray(arrays.obs_valid),
+                    whitener=jnp.asarray(self._whitener),
+                    sensor_pose_inv=jnp.asarray(self._sensor_pose_inv),
+                    calib=self.calib,
+                )
+                solve, _ = get_solver(self._solver_cfg)
             edge_pose, lm_state, dev_info = solve(batch)
             # NOTE: jax.device_get, never np.asarray — with the remote-TPU
             # PJRT backend the numpy __array__ path falls back to a
@@ -768,7 +795,7 @@ class SrbaEngine:
                              jax.device_get(dev_info).items()})
         return info_out
 
-    def optimize_global(self, cfg=None, write_back: bool = True):
+    def optimize_global(self, cfg=None, write_back: bool = True, mesh=None):
         """Global pose-graph optimization over ALL kf2kf edges — the
         in-framework replacement for the reference's export-to-MRPT-graphslam
         path (``get_global_graphslam_problem`` consumed by an external
@@ -783,8 +810,10 @@ class SrbaEngine:
         from srba_tpu.solver.global_graphslam import \
             optimize_global_pose_graph
 
+        if mesh is None:
+            mesh = self.mesh
         prob = get_global_graphslam_problem(self)  # syncs internally
-        G_opt, info = optimize_global_pose_graph(prob, cfg)
+        G_opt, info = optimize_global_pose_graph(prob, cfg, mesh=mesh)
         if write_back and self.state.num_edges:
             a = self.state.k2k_from[: self.state.num_edges]
             b = self.state.k2k_to[: self.state.num_edges]

@@ -59,23 +59,42 @@ def _get_spmd_impl(cfg: SolverConfig):
     return make_solver_impl(cfg)
 
 
+_SPMD_SOLVER_CACHE: dict = {}
+
+
 def make_spmd_solver(cfg: SolverConfig, mesh: Mesh):
     """Build the sharded solver: ``solve(batch) -> (edge_pose, lm_state,
     info)`` where ``batch``'s observation arrays are (logically) sharded over
     the mesh's ``obs`` axis.  The batch's padded observation count must be a
     multiple of the mesh size (window buckets are powers of two, so any
-    power-of-two mesh divides them)."""
+    power-of-two mesh divides them).  Cached per (cfg, mesh) so the engine
+    can call it on every solve without retracing."""
     if cfg.axis_name != OBS_AXIS:
         cfg = dataclasses.replace(cfg, axis_name=OBS_AXIS)
+    cache_key = (cfg, tuple(mesh.shape.items()),
+                 tuple(d.id for d in mesh.devices.flat))
+    hit = _SPMD_SOLVER_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
     solve_impl, eval_impl = _get_spmd_impl(cfg)
 
     def _wrap(impl, out_specs_fn):
+        # One jitted shard_map per calib pytree STRUCTURE (specs depend on
+        # the batch only through it) — rebuilding the wrapper per call would
+        # give jax.jit a fresh function identity every time and defeat its
+        # executable cache (full retrace per solve).
+        cache: dict = {}
+
         def run(batch: WindowBatch):
-            specs = _batch_specs(batch)
-            shard_fn = jax.shard_map(
-                impl, mesh=mesh, in_specs=(specs,),
-                out_specs=out_specs_fn(), check_vma=False)
-            return jax.jit(shard_fn)(batch)
+            key = jax.tree.structure(batch)
+            fn = cache.get(key)
+            if fn is None:
+                specs = _batch_specs(batch)
+                fn = jax.jit(jax.shard_map(
+                    impl, mesh=mesh, in_specs=(specs,),
+                    out_specs=out_specs_fn(), check_vma=False))
+                cache[key] = fn
+            return fn(batch)
         return run
 
     def solve_out_specs():
@@ -84,8 +103,9 @@ def make_spmd_solver(cfg: SolverConfig, mesh: Mesh):
                       ("err_init", "err_final", "iters", "lam", "num_obs")}
         return (repl, repl, info_specs)
 
-    return _wrap(solve_impl, solve_out_specs), \
-        _wrap(eval_impl, lambda: P())
+    out = (_wrap(solve_impl, solve_out_specs), _wrap(eval_impl, lambda: P()))
+    _SPMD_SOLVER_CACHE[cache_key] = out
+    return out
 
 
 def shard_batch(batch: WindowBatch, mesh: Mesh) -> WindowBatch:

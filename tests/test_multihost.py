@@ -1,0 +1,134 @@
+"""Multi-host execution tests: REAL multi-process ``jax.distributed`` rings
+(2 OS processes x 2 CPU devices each, gloo over localhost) proving the
+distributed paths match single-process results.
+
+This is the rebuild's answer to SURVEY.md §3.1's "Collective backend: none
+in reference" row — the reference (public MRPT/srba layout) has no
+parallelism at all; here multi-process operation is tested without a pod
+per SURVEY.md §5 ("multi-host tests runnable without a pod").
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_ring(mode: str, tmp_path, nprocs: int = 2, timeout: int = 420):
+    out = str(tmp_path / f"out_{mode}")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(nprocs), str(port),
+             mode, out],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(nprocs)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for pid, p in enumerate(procs):
+        assert p.returncode == 0, (
+            f"worker {pid} failed (rc={p.returncode}):\n{logs[pid][-4000:]}")
+    results = []
+    for pid in range(nprocs):
+        with open(f"{out}.{pid}") as f:
+            results.append(json.loads(f.read()))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_engine_matches_single_process(tmp_path):
+    """The full per-keyframe loop over a 2-process ring: coordinator feeds
+    observations, the broadcast sync replays them on the peer, the LM+Schur
+    window solve runs obs-sharded over the 4-device global mesh.  Every
+    process's replica must agree, and match a single-process run."""
+    results = _run_ring("engine", tmp_path)
+    assert all(r["n_devices"] == 4 for r in results)
+    assert results[1]["served"] == 12
+    assert all(r["num_kfs"] == 12 for r in results)
+    # Replicas agree bit-for-bit on the recovered global map.
+    assert results[0]["gsum"] == pytest.approx(results[1]["gsum"], rel=1e-7)
+    assert results[0]["ate"] == pytest.approx(results[1]["ate"], rel=1e-6)
+
+    # Single-process ground truth (same dataset, same engine config).
+    from srba_tpu.engine.engine import Observation, SrbaEngine, SrbaParams
+    from srba_tpu.utils.datasets import (ate_rmse, make_world_loop_2d,
+                                         observe)
+    world = make_world_loop_2d(num_kfs=12, radius=6.0, num_landmarks=40,
+                               seed=5)
+    ds = observe(world, "RangeBearing2D", noise_std=0.005, sensor_range=5.0,
+                 odo_noise_std=0.01, seed=5)
+    eng = SrbaEngine("RangeBearing2D", device_master=False,
+                     params=SrbaParams(max_tree_depth=3,
+                                       max_optimize_depth=3))
+    for k, frame in enumerate(ds.frames):
+        eng.define_new_keyframe(
+            [Observation(lm_id=m, z=z) for m, z in frame],
+            edge_init={k - 1: ds.odometry[k - 1]} if k else None)
+    G, _ = eng.create_complete_spanning_tree(0)
+    ate_ref = ate_rmse(G[:, :2], world.gt_poses[:, :2])
+    assert results[0]["ate"] == pytest.approx(float(ate_ref), abs=2e-3)
+    assert results[0]["ate"] < 0.05
+
+
+@pytest.mark.slow
+def test_two_process_pgo_matches_single_process(tmp_path):
+    """Edge-sharded global PGO over a 2-process / 4-device mesh vs the same
+    problem solved single-process."""
+    results = _run_ring("pgo", tmp_path)
+    assert results[0]["gsum"] == pytest.approx(results[1]["gsum"], rel=1e-7)
+
+    from srba_tpu.ops.np_lie import NpSE3
+    from srba_tpu.solver.global_graphslam import (PGOConfig,
+                                                  optimize_global_pose_graph)
+    rng = np.random.default_rng(0)
+    K = 40
+    th = 2 * np.pi * np.arange(K) / K
+    gt = np.stack([NpSE3.pexp(np.asarray(
+        [5 * np.cos(t), 5 * np.sin(t), 0, 0, 0, t], np.float32))
+        for t in th])
+
+    def rel(i, j):
+        return NpSE3.compose(NpSE3.inverse(gt[i]), gt[j]).astype(np.float32)
+
+    edges = [{"from": k - 1, "to": k, "rel_pose": NpSE3.retract(
+        rel(k - 1, k), rng.normal(0, 0.01, 6).astype(np.float32))}
+        for k in range(1, K)]
+    edges.append({"from": 0, "to": K - 1, "rel_pose": rel(0, K - 1)})
+    nodes = np.stack([NpSE3.retract(
+        gt[k], rng.normal(0, 0.1, 6).astype(np.float32)) for k in range(K)])
+    nodes[0] = gt[0]
+    prob = {"group": "SE3", "nodes": nodes, "edges": edges}
+    G, info = optimize_global_pose_graph(
+        prob, PGOConfig(group="SE3", max_outer=15, cg_iters=50))
+    assert results[0]["err_final"] == pytest.approx(
+        info["err_final"], rel=1e-3, abs=1e-6)
+    assert results[0]["gsum"] == pytest.approx(float(np.abs(G).sum()),
+                                               rel=1e-4)
