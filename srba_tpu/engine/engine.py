@@ -813,6 +813,12 @@ class SrbaEngine:
         if mesh is None:
             mesh = self.mesh
         prob = get_global_graphslam_problem(self)  # syncs internally
+        if cfg is None:
+            from srba_tpu.solver.global_graphslam import PGOConfig
+            # Engine callers get the basin-robust path by default: chordal
+            # initialization handles arbitrary accumulated orientation drift
+            # (solver/chordal.py) before the local LM-PCG refinement.
+            cfg = PGOConfig(group=self.group.name, chordal_init=True)
         G_opt, info = optimize_global_pose_graph(prob, cfg, mesh=mesh)
         if write_back and self.state.num_edges:
             a = self.state.k2k_from[: self.state.num_edges]

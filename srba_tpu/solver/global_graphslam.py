@@ -52,6 +52,12 @@ class PGOConfig:
     lam_max: float = 1e8
     rel_tol: float = 1e-8
     cg_rtol: float = 1e-6
+    # Chordal initialization (rotation averaging + linear translation solve,
+    # solver/chordal.py) before LM-PCG: widens the convergence basin to
+    # arbitrary orientation drift (multiple revolutions of accumulated yaw).
+    # LM-PCG alone is local and traps there (docs/MATH.md).
+    chordal_init: bool = False
+    chordal_cg_iters: int = 300
     # SPMD: mesh axis the EDGE tables are sharded over.  Nodes stay
     # replicated; every edge-indexed reduction (gradient, Hv, block diag,
     # error) is psum'ed over this axis so the replicated LM/CG control flow
@@ -209,6 +215,12 @@ def _make_pgo(cfg: PGOConfig):
             return jnp.logical_and(jnp.logical_not(done),
                                    it < cfg.max_outer)
 
+        if cfg.chordal_init:
+            from srba_tpu.solver.chordal import make_chordal_init
+            chordal = make_chordal_init(cfg.group, cfg.chordal_cg_iters,
+                                        cg_rtol=cfg.cg_rtol,
+                                        axis_name=cfg.axis_name)
+            G0 = chordal(G0, ea, eb, z, w)
         err0 = err_of(G0)
         init = (G0, jnp.asarray(cfg.lam0, G0.dtype), err0,
                 jnp.asarray(0, jnp.int32), jnp.asarray(False),
