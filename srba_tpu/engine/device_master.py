@@ -171,12 +171,18 @@ class DeviceMaster:
     def step(self, cfg, whitener, sensor_pose_inv, calib,
              edge_ids, edge_opt, lm_ids, lm_opt, obs_lm, obs_valid,
              path_edge, path_sign, obs_z) -> LazyInfo:
-        """Append staged rows + solve one window, all in one dispatch."""
+        """Append staged rows + solve one window, all in one dispatch.
+        Exactly TWO host->device uploads per keyframe (one f32 buffer, one
+        i32 buffer) — each device_put costs ~0.3 ms over the tunnel."""
         import jax.numpy as jnp
 
         rows, offsets, pad_e, pad_l = self._take_staging()
         ints = pack_window_ints(edge_ids, edge_opt, lm_ids, lm_opt,
                                 obs_lm, obs_valid, path_edge, path_sign)
+        obs_z = np.asarray(obs_z, np.float32)
+        wire = np.concatenate([
+            rows, obs_z.ravel(),
+            np.concatenate([offsets, ints]).view(np.float32)])
         if self._whitener_dev is None:
             import jax
             self._whitener_dev = jnp.asarray(whitener, jnp.float32)
@@ -185,22 +191,35 @@ class DeviceMaster:
         fn = make_master_step(cfg)  # global per-config executable cache
         E, L, N = len(edge_ids), len(lm_ids), len(obs_lm)
         self.pose, self.lm, info = fn(
-            self.pose, self.lm, jnp.asarray(rows), jnp.asarray(offsets),
-            jnp.asarray(ints), jnp.asarray(obs_z),
+            self.pose, self.lm, jnp.asarray(wire),
             self._whitener_dev, self._spinv_dev, self._calib_dev,
-            E, L, N, pad_e, pad_l)
+            E, L, N, pad_e, pad_l, obs_z.shape[1])
         self.dirty = True
         return LazyInfo(info)
+
+    def fence(self) -> None:
+        """Drain the async device queue WITHOUT downloading anything (a
+        master download is ~0.2 s over the tunnel; blocking on the latest
+        master array is ~one RTT)."""
+        import jax
+        jax.block_until_ready(self.pose)
 
     # -- host mirror -----------------------------------------------------------
 
     def sync_to_host(self, k2k_pose: np.ndarray, lm_state: np.ndarray) -> None:
-        """Refresh the host mirror in place (ONE ~28 ms round-trip)."""
+        """Refresh the host mirror in place (ONE round-trip).  Fetch only a
+        power-of-two bucket of the LIVE rows: downloading the full padded
+        masters (16k+64k rows) costs ~0.2 s over the tunnel; the live slice
+        is typically a few KB."""
         if not self.dirty:
             return
         import jax
-        pose, lm = jax.device_get((self.pose, self.lm))
         n_e, n_l = self.num_edges, self.num_lms
+        b_e = min(_bucket_pow2(max(n_e, 1), self.PAD_E_MIN),
+                  self.pose.shape[0])
+        b_l = min(_bucket_pow2(max(n_l, 1), self.PAD_L_MIN),
+                  self.lm.shape[0])
+        pose, lm = jax.device_get((self.pose[:b_e], self.lm[:b_l]))
         k2k_pose[:n_e] = pose[:n_e]
         lm_state[:n_l] = lm[:n_l]
         self.dirty = False

@@ -225,6 +225,13 @@ class SrbaEngine:
             self.device_master.sync_to_host(self.state.k2k_pose,
                                             self.state.lm_state)
 
+    def fence(self) -> None:
+        """Drain all pending async device work WITHOUT downloading state
+        (use around timing sections; ``sync`` additionally refreshes the
+        host mirror)."""
+        if self.device_master is not None:
+            self.device_master.fence()
+
     # ------------------------------------------------------------------
     # Core per-frame API
     # ------------------------------------------------------------------

@@ -17,7 +17,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 from srba_tpu.native import get_lib
-from srba_tpu.solver.window import WindowArrays, WindowPlan, _bucket
+from srba_tpu.solver.window import (E_MIN, L_MIN, N_MIN, WindowArrays,
+                                    WindowPlan, _bucket)
 
 
 def _ptr(a: np.ndarray):
@@ -90,7 +91,7 @@ class NativeCore:
         counts = np.zeros(3, np.int32)
         # Start from the last successful bucket shape: windows grow slowly,
         # so the first attempt almost always fits (one native call per KF).
-        cap_E, cap_L, cap_N = getattr(self, "_caps", (4, 4, 8))
+        cap_E, cap_L, cap_N = getattr(self, "_caps", (E_MIN, L_MIN, N_MIN))
         for _ in range(16):  # grows geometrically until it fits
             E, L, N = cap_E, cap_L, cap_N
             edge_gids = np.zeros(E, np.int32)
@@ -113,21 +114,21 @@ class NativeCore:
             if rc == 0:
                 break
             # Too small: re-bucket to the required counts and retry.
-            cap_E = _bucket(int(counts[0]), 4)
-            cap_L = _bucket(int(counts[1]), 4)
-            cap_N = _bucket(int(counts[2]), 8)
+            cap_E = _bucket(int(counts[0]), E_MIN)
+            cap_L = _bucket(int(counts[1]), L_MIN)
+            cap_N = _bucket(int(counts[2]), N_MIN)
         else:
             raise RuntimeError("native window build failed to converge")
         self._caps = (cap_E, cap_L, cap_N)
 
         E_real, L_real, N_real = (int(counts[0]), int(counts[1]),
                                   int(counts[2]))
-        # The attempt caps are sticky (avoid retry calls as windows grow);
-        # the EMITTED padding shrinks back to the true power-of-two buckets
-        # so the device step never does more work than the window needs.
-        bE = _bucket(E_real, 4)
-        bL = _bucket(L_real, 4)
-        bN = _bucket(N_real, 8)
+        # Emit the RATCHETED caps as the bucket shape: once a dimension has
+        # grown, later (smaller) windows keep the grown shape — a new jit
+        # shape costs ~3 s (trace + executable load over the tunnel) while
+        # extra padded compute is dispatch-noise, so never shrink.  Distinct
+        # shapes per run = growth events only (~2-4 for a typical run).
+        bE, bL, bN = cap_E, cap_L, cap_N
         obs_ids = obs_ids[:bN]
         obs_z = state.obs_z[obs_ids]  # numpy fancy gather (pads = first row)
         arrays = WindowArrays(

@@ -62,31 +62,43 @@ def pack_window_ints(edge_ids, edge_opt, lm_ids, lm_opt, obs_lm, obs_valid,
 def make_master_step(cfg: SolverConfig):
     """Build the donated jitted per-keyframe program.
 
-    Returns ``step(pose_master, lm_master, new_rows, offsets, ints, obs_z,
-    whitener, sensor_pose_inv, calib, E, L, N, pad_e, pad_l) ->
-    (pose_master', lm_master', info)`` where ``E/L/N/pad_e/pad_l`` are static
+    Returns ``step(pose_master, lm_master, wire, whitener,
+    sensor_pose_inv, calib, E, L, N, pad_e, pad_l, z_dim) ->
+    (pose_master', lm_master', info)`` where the trailing six are static
     bucket sizes (jit specializes per combination; buckets are powers of two
-    so a run touches O(log) shapes).  Globally cached by config so every
-    engine instance with the same problem configuration shares the compiled
-    executables (whitener / sensor pose / calibration are device-resident
-    runtime operands, not baked constants).
+    with an emit ratchet so a run touches ~2-4 shapes).  Globally cached by
+    config so every engine instance with the same problem configuration
+    shares the compiled executables (whitener / sensor pose / calibration
+    are device-resident runtime operands, not baked constants).
 
-    ``new_rows`` packs ``pad_e`` new edge poses then ``pad_l`` new landmark
-    states (garbage rows beyond the real counts land in not-yet-allocated
-    master slots and are overwritten by the next append).  ``offsets`` =
-    int32[2] append positions.  ``ints`` is the :func:`pack_window_ints`
-    buffer; ``obs_z`` the [N, z_dim] window observations.
+    ``wire`` (f32) packs ``pad_e`` new edge poses, then ``pad_l`` new
+    landmark states (garbage rows beyond the real counts land in
+    not-yet-allocated master slots and are overwritten by the next append),
+    then the flattened ``[N, z_dim]`` window observations, then the BITCAST
+    int32 structure: append offsets + the :func:`pack_window_ints` buffer.
     """
     solve_impl, _ = make_solver_impl(cfg)
     D = cfg.max_depth
 
-    @functools.partial(jax.jit, static_argnums=(9, 10, 11, 12, 13),
+    @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11),
                        donate_argnums=(0, 1))
-    def step(pose_master, lm_master, new_rows, offsets, ints, obs_z,
+    def step(pose_master, lm_master, wire,
              whitener, sensor_pose_inv, calib,
-             E, L, N, pad_e, pad_l):
+             E, L, N, pad_e, pad_l, z_dim):
         pose_dim = pose_master.shape[1]
         lm_dim = lm_master.shape[1]
+        # ONE upload buffer per keyframe (each device_put costs ~0.3 ms of
+        # host time over the tunnel): ``wire`` is f32 and packs the new
+        # rows, the window obs values, then the BITCAST int32 window
+        # structure (append offsets + pack_window_ints) — exact bit
+        # round-trip, recovered here with bitcast_convert_type.
+        rows_len = pad_e * pose_dim + pad_l * lm_dim
+        new_rows = wire[:rows_len]
+        obs_z = wire[rows_len: rows_len + N * z_dim].reshape(N, z_dim)
+        ints_all = jax.lax.bitcast_convert_type(
+            wire[rows_len + N * z_dim:], jnp.int32)
+        offsets = ints_all[:2]
+        ints = ints_all[2:]
 
         # -- append this keyframe's new rows into the masters --------------
         if pad_e:

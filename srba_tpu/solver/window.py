@@ -24,15 +24,22 @@ from srba_tpu.engine.state import ProblemState
 from srba_tpu.graph.spantree import KeyframeGraph
 
 
+# Bucket floors.  Every distinct (E, L, N) combination costs one full
+# trace+compile+load of the window program (~3 s each on the tunneled TPU,
+# measured: the compile-cache LOAD dominates, so even a warm persistent
+# cache pays it), while padding waste is nearly free (the solve is
+# dispatch-latency-bound at these sizes).  Generous floors + a coarse
+# ladder + the native builder's emit ratchet keep a whole run at ~2-4
+# distinct shapes instead of the ~15 a fine ladder produced.
+E_MIN, L_MIN, N_MIN = 8, 64, 64
+
+
 def _bucket(n: int, minimum: int) -> int:
-    """Padded capacity ladder: powers of two up to 512, then x4 steps.
-    Every distinct (E, L, N) bucket combination jit-compiles its own
-    program (~seconds on a tunneled TPU), so the ladder coarsens once
-    windows are big enough that padding waste is cheap relative to another
-    compilation."""
+    """Padded capacity ladder: powers of two below 64, then x4 steps
+    (64, 256, 1024, ...).  See the floor rationale above."""
     cap = minimum
     while cap < n:
-        cap *= 2 if cap < 512 else 4
+        cap *= 2 if cap < 64 else 4
     return cap
 
 
@@ -137,9 +144,9 @@ def build_window(
     lm_local = {l: i for i, l in enumerate(lm_ids_sorted)}
 
     E_real, L_real, N_real = len(involved), len(lm_ids_sorted), len(rows)
-    E = _bucket(E_real, 4)
-    L = _bucket(L_real, 4)
-    N = _bucket(N_real, 8)
+    E = _bucket(E_real, E_MIN)
+    L = _bucket(L_real, L_MIN)
+    N = _bucket(N_real, N_MIN)
     D = max_tree_depth
     pose_dim, lm_dim, z_dim = state.pose_dim, state.lm_dim, state.z_dim
 

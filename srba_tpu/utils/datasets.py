@@ -154,6 +154,114 @@ def observe(world: World, obs_model: str, calib: Any = None,
     return SlamDataset(world, frames, odometry, obs_model)
 
 
+def observe_sparse(world: World, obs_model: str, calib: Any = None,
+                   noise_std: float = 0.0, sensor_range: float = 6.0,
+                   image_size: Tuple[int, int] = (320, 240),
+                   min_depth: float = 0.3,
+                   camera_frame_convention: bool = True,
+                   seed: int = 0,
+                   odo_noise_std: float = 0.0) -> SlamDataset:
+    """Memory-bounded :func:`observe` for LARGE worlds (config #5 scale:
+    5k+ keyframes).  ``observe`` materializes the dense ``[K, M]``
+    visibility product (1.2 GB at 5k x 20k); here landmarks are spatially
+    hashed into ``sensor_range``-sized grid cells and each keyframe tests
+    only its 3x3 cell neighborhood, so cost is O(K x local density).  All
+    candidate pairs are evaluated through the same jnp ``h`` in ONE device
+    call."""
+    import jax
+    import jax.numpy as jnp
+
+    model = OBSERVATION_MODELS[obs_model]
+    group = NP_GROUPS[world.group_name]
+    rng = np.random.default_rng(seed + 1)
+    K = world.gt_poses.shape[0]
+    is_camera = obs_model in ("MonocularCamera", "StereoCamera")
+
+    # Spatial hash of landmarks on (x, y).
+    cell = float(sensor_range)
+    lm_xy = world.landmarks[:, :2]
+    keys = np.floor(lm_xy / cell).astype(np.int64)
+    grid: Dict[Tuple[int, int], List[int]] = {}
+    for m, (cx, cy) in enumerate(keys):
+        grid.setdefault((int(cx), int(cy)), []).append(m)
+
+    pos = world.gt_poses[:, :2]
+    pair_k: List[np.ndarray] = []
+    pair_m: List[np.ndarray] = []
+    for k in range(K):
+        cx, cy = int(np.floor(pos[k, 0] / cell)), \
+            int(np.floor(pos[k, 1] / cell))
+        cand: List[int] = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cand.extend(grid.get((cx + dx, cy + dy), ()))
+        if cand:
+            cand_a = np.asarray(cand, np.int64)
+            pair_k.append(np.full(cand_a.shape, k, np.int64))
+            pair_m.append(cand_a)
+    pk = np.concatenate(pair_k)
+    pm = np.concatenate(pair_m)
+
+    inv_poses = group.inverse(world.gt_poses)
+    pts = group.apply(inv_poses[pk], world.landmarks[pm])   # [P, pd]
+    if is_camera:
+        cam_pts = _camera_frame(pts) if camera_frame_convention else pts
+        zs = jax.device_get(model.h(jnp.asarray(cam_pts, jnp.float32),
+                                    calib))
+        w, h = image_size
+        vis = (cam_pts[..., 2] > min_depth)
+        vis &= (zs[..., 0] >= 0) & (zs[..., 0] < w)
+        vis &= (zs[..., 1] >= 0) & (zs[..., 1] < h)
+        if model.obs_dim == 4:
+            vis &= (zs[..., 2] >= 0) & (zs[..., 2] < w)
+        vis &= np.linalg.norm(cam_pts, axis=-1) < sensor_range
+    else:
+        zs = jax.device_get(model.h(jnp.asarray(pts, jnp.float32), calib))
+        vis = np.linalg.norm(pts, axis=-1) < sensor_range
+    zs = (zs + rng.normal(0.0, noise_std, zs.shape)).astype(np.float32)
+
+    frames: List[List[Tuple[int, np.ndarray]]] = [[] for _ in range(K)]
+    for i in np.nonzero(vis)[0]:
+        frames[int(pk[i])].append((int(pm[i]), zs[i]))
+
+    odometry: List[np.ndarray] = []
+    for k in range(1, K):
+        rel = group.compose(group.inverse(world.gt_poses[k]),
+                            world.gt_poses[k - 1])
+        if odo_noise_std > 0:
+            rel = group.retract(rel, rng.normal(0.0, odo_noise_std,
+                                                group.dof))
+        odometry.append(np.asarray(rel, np.float32))
+    return SlamDataset(world, frames, odometry, obs_model)
+
+
+def make_world_loop_3d_large(num_kfs: int, radius: float = 30.0,
+                             num_landmarks: int = 8000,
+                             revolutions: float = 2.5,
+                             height_amp: float = 2.0,
+                             seed: int = 0) -> World:
+    """Multi-revolution 3D loop for large-scale runs (config #5): the robot
+    revisits the same places ``revolutions`` times, so local-areas loop
+    closures fire throughout."""
+    rng = np.random.default_rng(seed)
+    ang = np.linspace(0.0, 2.0 * np.pi * revolutions, num_kfs,
+                      endpoint=False)
+    xyz = np.stack(
+        [radius * np.cos(ang), radius * np.sin(ang),
+         height_amp * np.sin(2 * ang)], axis=-1)
+    yaw = ang + np.pi / 2
+    half = yaw * 0.5
+    quat = np.stack([np.cos(half), np.zeros_like(half),
+                     np.zeros_like(half), np.sin(half)], axis=-1)
+    gt = np.concatenate([xyz, quat], axis=-1).astype(np.float32)
+    r = rng.uniform(radius * 0.75, radius * 1.25, num_landmarks)
+    th = rng.uniform(0, 2 * np.pi, num_landmarks)
+    z = rng.uniform(-2.0, 6.0, num_landmarks)
+    lms = np.stack([r * np.cos(th), r * np.sin(th), z],
+                   axis=-1).astype(np.float32)
+    return World("SE3", gt, lms)
+
+
 def make_graph_slam_dataset(world: World, noise_std: float = 0.0,
                             loop_closure_range: float = 2.0,
                             odo_noise_std: float = 0.0,
