@@ -1,15 +1,19 @@
-"""Benchmark: keyframes/sec on BASELINE config #1 (2D range-bearing SE(2)
-SLAM, ~100-keyframe synthetic loop) — the primary metric of BASELINE.json.
+"""Benchmark harness: ALL FIVE BASELINE.json configs with enforced ATE
+bounds.
 
-Prints exactly ONE JSON line to stdout:
-  {"metric": ..., "value": N, "unit": "keyframes/sec", "vs_baseline": N}
+Prints exactly ONE primary JSON line to stdout (config #1 keyframes/sec —
+the headline metric the driver records); every other config reports to
+stderr AND is appended to ``BENCH_DETAIL.json`` for the record.  A config
+whose ATE exceeds its bound prints ``ATE-BOUND-VIOLATED`` loudly and zeroes
+its vs_baseline contribution — regressions fail visibly, not silently.
 
 Baseline note: the reference repo publishes no numbers and the reference
-mount has been empty (BASELINE.md); the ICRA'13 SRBA paper reports per-KF
-cost of "milliseconds to tens of ms" on 2012-era x86 for comparable synthetic
-range-bearing worlds at these tree depths.  ``vs_baseline`` therefore uses
-the midpoint of that claim (10 ms/KF => 100 KF/s) as the stand-in reference
-throughput until the reference binary can be built and measured.
+mount has been empty every session (BASELINE.md); the ICRA'13 SRBA paper
+reports per-KF cost of "milliseconds to tens of ms" on 2012-era x86 for
+comparable synthetic range-bearing worlds at these tree depths.
+``vs_baseline`` therefore uses the midpoint of that claim (10 ms/KF =>
+100 KF/s) as the stand-in reference throughput until the reference binary
+can be built and measured.
 """
 
 from __future__ import annotations
@@ -21,43 +25,119 @@ import time
 import numpy as np
 
 REF_KF_PER_SEC = 100.0  # stand-in; see module docstring / BASELINE.md
-NUM_KFS = 100
+
+# Per-config ATE bounds (meters).  Chosen as ~2x the values measured at
+# round 2 (so real regressions trip them, noise does not); see
+# BENCH_DETAIL.json history.
+ATE_BOUNDS = {
+    "config1_rb2d": 0.10,
+    "config2_rb3d": 0.10,
+    "config3_stereo": 0.25,
+    "config4_graphslam": 0.10,
+    "config5_mono5k": 1.50,
+}
+
+DETAIL: list = []
 
 
-def run_once(ds, report_profile=False):
-    from srba_tpu import Observation, SrbaEngine, SrbaParams
+def _report(name: str, kf_per_sec: float, ate: float, extra: str = ""):
+    bound = ATE_BOUNDS[name]
+    ok = ate <= bound
+    flag = "" if ok else "  *** ATE-BOUND-VIOLATED ***"
+    print(f"{name}: {kf_per_sec:.1f} KF/s  ATE={ate:.4f} m "
+          f"(bound {bound}){flag}  {extra}", file=sys.stderr, flush=True)
+    DETAIL.append({"config": name, "kf_per_sec": round(kf_per_sec, 2),
+                   "ate_rmse": round(ate, 5), "ate_bound": bound,
+                   "ate_ok": ok, "extra": extra})
+    return ok
 
-    eng = SrbaEngine(
-        "RangeBearing2D",
-        params=SrbaParams(max_tree_depth=4, max_optimize_depth=4))
+
+def _drive(eng, ds):
+    from srba_tpu import Observation
     t0 = time.perf_counter()
     for k, frame in enumerate(ds.frames):
         obs = [Observation(lm_id=m, z=z) for m, z in frame]
         edge_init = {k - 1: ds.odometry[k - 1]} if k > 0 else None
         eng.define_new_keyframe(obs, edge_init=edge_init)
     # Final fence: the device-master path is fully async (nothing downloaded
-    # per keyframe), so drain the device queue before stopping the clock.
-    # fence() blocks without downloading (a master download over the tunnel
-    # costs ~0.2 s and is NOT per-KF work; eval/export sync later, lazily).
+    # per keyframe); fence() drains the queue without the ~0.2 s master
+    # download a sync would cost (eval/export sync later, lazily).
     eng.fence()
-    dt = time.perf_counter() - t0
-    if report_profile:
-        print(eng.profiler.report(), file=sys.stderr)
-    return eng, dt
+    return time.perf_counter() - t0
 
 
-def bench_stereo(num_kfs=60):
-    """Secondary metric (stderr): BASELINE config #3 — stereo SE(3) with
-    Schur over landmarks and an SE(3) sensor mounting pose."""
-    from srba_tpu import Observation, SrbaEngine, SrbaParams
+def _ate_of(eng, world, d):
+    from srba_tpu.utils.datasets import ate_rmse
+    G, _ = eng.create_complete_spanning_tree(0)
+    n = min(len(G), len(world.gt_poses))
+    return float(ate_rmse(np.asarray(G)[:n, :d], world.gt_poses[:n, :d]))
+
+
+# ---------------------------------------------------------------------------
+# Config 1 — 2D range-bearing SE(2), ~100-KF loop (PRIMARY metric)
+# ---------------------------------------------------------------------------
+
+def bench_config1():
+    from srba_tpu import SrbaEngine, SrbaParams
+    from srba_tpu.utils.datasets import make_world_loop_2d, observe
+
+    K = 100
+    world = make_world_loop_2d(num_kfs=K, radius=10.0, num_landmarks=180,
+                               seed=11)
+    ds = observe(world, "RangeBearing2D", noise_std=0.005, sensor_range=6.0,
+                 odo_noise_std=0.01, seed=11)
+
+    def run():
+        eng = SrbaEngine(
+            "RangeBearing2D",
+            params=SrbaParams(max_tree_depth=4, max_optimize_depth=4))
+        return eng, _drive(eng, ds)
+
+    _, warm = run()
+    print(f"config1 warmup pass: {warm:.2f}s", file=sys.stderr, flush=True)
+    eng, dt = run()
+    ate = _ate_of(eng, world, 2)
+    _report("config1_rb2d", K / dt, ate, f"warmup={warm:.1f}s")
+    return K / dt, ate
+
+
+# ---------------------------------------------------------------------------
+# Config 2 — 3D range-bearing SE(3)
+# ---------------------------------------------------------------------------
+
+def bench_config2(K=100):
+    from srba_tpu import SrbaEngine, SrbaParams
+    from srba_tpu.utils.datasets import make_world_loop_3d, observe
+
+    world = make_world_loop_3d(num_kfs=K, radius=9.0, num_landmarks=250,
+                               height_amp=1.0, seed=3)
+    ds = observe(world, "RangeBearing3D", noise_std=0.005, sensor_range=6.0,
+                 odo_noise_std=0.01, seed=3)
+
+    def run():
+        eng = SrbaEngine(
+            "RangeBearing3D",
+            params=SrbaParams(max_tree_depth=4, max_optimize_depth=4))
+        return eng, _drive(eng, ds)
+
+    run()
+    eng, dt = run()
+    _report("config2_rb3d", K / dt, _ate_of(eng, world, 3))
+
+
+# ---------------------------------------------------------------------------
+# Config 3 — stereo SE(3), Schur over landmarks, SE(3) sensor mount
+# ---------------------------------------------------------------------------
+
+def bench_config3(K=500):
+    from srba_tpu import SrbaEngine, SrbaParams
     from srba_tpu.models.observations import StereoCalib
     from srba_tpu.models.sensor_pose import SensorPoseSE3
     from srba_tpu.ops.np_lie import CAMERA_SENSOR_POSE_SE3
-    from srba_tpu.utils.datasets import (ate_rmse, make_world_loop_3d,
-                                         observe)
+    from srba_tpu.utils.datasets import make_world_loop_3d, observe
 
-    world = make_world_loop_3d(num_kfs=num_kfs, radius=8.0,
-                               num_landmarks=400, height_amp=0.5, seed=1)
+    world = make_world_loop_3d(num_kfs=K, radius=8.0, num_landmarks=400,
+                               height_amp=0.5, seed=1)
     calib = StereoCalib.make(fx=200.0, fy=200.0, cx=160.0, cy=120.0,
                              baseline=0.12)
     ds = observe(world, "StereoCamera", calib=calib, noise_std=0.3,
@@ -68,27 +148,105 @@ def bench_stereo(num_kfs=60):
             "StereoCamera", calib=calib,
             sensor_pose=SensorPoseSE3(CAMERA_SENSOR_POSE_SE3),
             params=SrbaParams(max_tree_depth=4, max_optimize_depth=4))
-        t0 = time.perf_counter()
-        for k, frame in enumerate(ds.frames):
-            obs = [Observation(lm_id=m, z=z) for m, z in frame]
-            edge_init = {k - 1: ds.odometry[k - 1]} if k > 0 else None
-            eng.define_new_keyframe(obs, edge_init=edge_init)
-        eng.fence()
-        return eng, time.perf_counter() - t0
+        return eng, _drive(eng, ds)
 
-    run()                      # warmup (compile buckets)
+    run()
     eng, dt = run()
-    from srba_tpu.utils.datasets import ate_rmse
-    G, _ = eng.create_complete_spanning_tree(0)
-    ate = ate_rmse(G[:, :3], world.gt_poses[:, :3])
-    print(f"secondary config#3 stereo SE3: {num_kfs / dt:.1f} KF/s  "
-          f"ATE={ate:.4f} m", file=sys.stderr)
+    _report("config3_stereo", K / dt, _ate_of(eng, world, 3), f"{K} KFs")
 
+
+# ---------------------------------------------------------------------------
+# Config 4 — relative-pose graph-SLAM (no landmarks, loop closures)
+# ---------------------------------------------------------------------------
+
+def bench_config4(K=150):
+    from srba_tpu import SrbaEngine, SrbaParams
+    from srba_tpu.utils.datasets import (make_graph_slam_dataset,
+                                         make_world_loop_2d)
+
+    world = make_world_loop_2d(num_kfs=K, radius=8.0, num_landmarks=1,
+                               seed=5, revolutions=2.0)
+    ds = make_graph_slam_dataset(world, noise_std=0.002,
+                                 loop_closure_range=1.5,
+                                 odo_noise_std=0.01, seed=5)
+
+    def run():
+        eng = SrbaEngine(
+            "RelativePoses2D",
+            params=SrbaParams(max_tree_depth=4, max_optimize_depth=4))
+        return eng, _drive(eng, ds)
+
+    run()
+    eng, dt = run()
+    _report("config4_graphslam", K / dt, _ate_of(eng, world, 2),
+            f"{eng.state.num_edges} edges")
+
+
+# ---------------------------------------------------------------------------
+# Config 5 — 5k-KF monocular, local-areas ECP + closures, sweeps + global PGO
+# ---------------------------------------------------------------------------
+
+def bench_config5(K=5000):
+    from srba_tpu import Observation, SrbaEngine, SrbaParams
+    from srba_tpu.ecps import LocalAreasFixedGrid
+    from srba_tpu.models.observations import CameraCalib
+    from srba_tpu.models.sensor_pose import SensorPoseSE3
+    from srba_tpu.ops.np_lie import CAMERA_SENSOR_POSE_SE3, NpSE3
+    from srba_tpu.utils.datasets import (ate_rmse, make_world_loop_3d_large,
+                                         observe_sparse)
+
+    world = make_world_loop_3d_large(num_kfs=K, radius=30.0,
+                                     num_landmarks=1200, revolutions=2.5,
+                                     seed=7)
+    calib = CameraCalib.make()
+    ds = observe_sparse(world, "MonocularCamera", calib=calib, noise_std=0.3,
+                        sensor_range=7.0, odo_noise_std=0.005, seed=7)
+    rng = np.random.default_rng(0)
+    inv = NpSE3.inverse
+
+    eng = SrbaEngine(
+        "MonocularCamera", calib=calib,
+        sensor_pose=SensorPoseSE3(CAMERA_SENSOR_POSE_SE3),
+        ecp=LocalAreasFixedGrid(submap_size=10,
+                                min_obs_count_loop_closure=6),
+        params=SrbaParams(max_tree_depth=3, max_optimize_depth=2,
+                          use_robust_kernel=True, kernel_param=3.0,
+                          extra_obs_per_lm_cap=4))
+
+    t0 = time.perf_counter()
+    for k, frame in enumerate(ds.frames):
+        obs = []
+        for m, z in frame:
+            init = None
+            if m not in eng._lm_id_map:
+                # External-triangulation stand-in (mono landmarks need a
+                # front-end init, as in the reference's mono tutorials).
+                pt = NpSE3.apply(inv(world.gt_poses[k]), world.landmarks[m])
+                init = pt + rng.normal(0, 0.2, 3)
+            obs.append(Observation(lm_id=m, z=z, init_rel_pos=init))
+        eng.define_new_keyframe(
+            obs, edge_init={k - 1: ds.odometry[k - 1]} if k else None)
+        if k and k % 1250 == 0:
+            eng.optimize_global()   # periodic global refinement
+    eng.fence()
+    dt_inc = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    eng.refine_map(sweeps=1)
+    G, info = eng.optimize_global()
+    dt_ref = time.perf_counter() - t0
+    ate = float(ate_rmse(G[:, :3], world.gt_poses[:, :3]))
+    _report("config5_mono5k", K / dt_inc, ate,
+            f"incremental {dt_inc:.1f}s + refine+PGO {dt_ref:.1f}s, "
+            f"{eng.state.num_edges} edges, {eng.num_landmarks} lms, "
+            f"PGO err {info['err_init']:.2e}->{info['err_final']:.2e}")
+
+
+# ---------------------------------------------------------------------------
+# Secondary: global PGO at scale
+# ---------------------------------------------------------------------------
 
 def bench_pgo(K=20000):
-    """Secondary metric (stderr): global pose-graph optimization at scale."""
-    import numpy as np
-
     from srba_tpu.ops.np_lie import NpSE3
     from srba_tpu.solver.global_graphslam import (PGOConfig,
                                                   optimize_global_pose_graph)
@@ -122,47 +280,39 @@ def bench_pgo(K=20000):
     dt = time.perf_counter() - t0
     print(f"secondary global PGO: {K} nodes / {len(edges)} edges SE3 in "
           f"{dt:.2f}s  err {info['err_init']:.2e}->{info['err_final']:.2e}",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
+    DETAIL.append({"config": "pgo20k", "seconds": round(dt, 2),
+                   "err_final": float(info["err_final"])})
 
 
 def main():
-    from srba_tpu.utils.datasets import (ate_rmse, make_world_loop_2d,
-                                         observe)
-
-    world = make_world_loop_2d(num_kfs=NUM_KFS, radius=10.0,
-                               num_landmarks=180, seed=11)
-    ds = observe(world, "RangeBearing2D", noise_std=0.005, sensor_range=6.0,
-                 odo_noise_std=0.01, seed=11)
-
-    # Warmup pass: triggers all window-bucket jit compilations.
-    _, warm_dt = run_once(ds)
-    print(f"warmup pass: {warm_dt:.2f}s", file=sys.stderr)
-
-    # Measured pass: steady-state (compile cache hot).
-    eng, dt = run_once(ds, report_profile=True)
-    kf_per_sec = NUM_KFS / dt
-
-    G, _ = eng.create_complete_spanning_tree(0)
-    ate = ate_rmse(np.asarray(G)[:, :2], world.gt_poses[:, :2])
-    err = eng.eval_overall_squared_error()
-    print(f"steady pass: {dt:.3f}s  ({kf_per_sec:.1f} KF/s)  "
-          f"ATE={ate:.4f}  overall_err={err:.4f}", file=sys.stderr)
+    kf_per_sec, ate1 = bench_config1()
 
     # Primary metric FIRST (the driver consumes this single JSON line; the
-    # secondary metrics below are stderr-only and must not gate it).
+    # other configs report to stderr + BENCH_DETAIL.json and must not gate
+    # or corrupt it).
+    ok1 = ate1 <= ATE_BOUNDS["config1_rb2d"]
     print(json.dumps({
         "metric": "keyframes/sec (LM+Schur, config#1 2D range-bearing "
-                  f"{NUM_KFS}-KF loop, ATE={ate:.4f})",
+                  f"100-KF loop, ATE={ate1:.4f})",
         "value": round(kf_per_sec, 2),
         "unit": "keyframes/sec",
-        "vs_baseline": round(kf_per_sec / REF_KF_PER_SEC, 3),
+        "vs_baseline": round(kf_per_sec / REF_KF_PER_SEC if ok1 else 0.0, 3),
     }), flush=True)
 
+    for fn in (bench_config2, bench_config3, bench_config4, bench_config5,
+               bench_pgo):
+        try:
+            fn()
+        except Exception as ex:   # secondary benches must never kill this
+            print(f"{fn.__name__} failed: {ex!r}", file=sys.stderr,
+                  flush=True)
+            DETAIL.append({"config": fn.__name__, "error": repr(ex)})
     try:
-        bench_stereo()
-        bench_pgo()
-    except Exception as ex:  # secondary metrics must never kill the bench
-        print(f"secondary benches failed: {ex!r}", file=sys.stderr)
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(DETAIL, f, indent=1)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -84,6 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
     out.add_argument("--export-g2o")
     out.add_argument("--export-ply")
     out.add_argument("--export-scene-json")
+    out.add_argument("--render",
+                     help="render the final map to a PNG (top-down for "
+                          "SE(2), 3D for SE(3); overlays ground truth when "
+                          "available) — the offline analog of the "
+                          "reference's live OpenGL window")
+    out.add_argument("--render-spantree-root", type=int,
+                     help="highlight the spanning tree of this root keyframe"
+                          " in --render output")
     out.add_argument("--save-checkpoint")
     out.add_argument("--resume-checkpoint")
     out.add_argument("--limit-kfs", type=int,

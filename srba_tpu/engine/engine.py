@@ -51,6 +51,12 @@ class SrbaParams:
     # re-observing the same landmarks => N_obs grows with visit count, and a
     # giant bucket shape forces a fresh, possibly enormous, XLA compile).
     extra_obs_per_lm_cap: Optional[int] = None
+    # Loop-closure bootstrap (engine/closure.py): initialize closure edges
+    # from the re-observed landmarks (Kabsch / multi-start PnP) instead of
+    # drift-accumulating estimates; monocular fits worse than
+    # closure_gate_px RMS are DEFERRED (the ECP re-votes next frames).
+    closure_bootstrap: bool = True
+    closure_gate_px: float = 25.0
     # LM solver knobs
     max_iters: int = 20
     lam0: float = 1e-4
@@ -329,6 +335,7 @@ class SrbaEngine:
                                 G_dr_new))
                     return G_dr_new
 
+                synced_for_boot = False
                 for which, targets in (("primary", primary_targets),
                                        ("closure", closure_targets)):
                     for t in targets:
@@ -348,6 +355,23 @@ class SrbaEngine:
                                 init = _seed_from(g_new, g_t)
                             else:
                                 init = self.np_group.identity()
+                        if which == "closure" \
+                                and self.parameters.closure_bootstrap:
+                            # Measurement-based closure init: estimates at
+                            # revisit time carry the loop's accumulated
+                            # drift (engine/closure.py docstring).
+                            from srba_tpu.engine.closure import \
+                                bootstrap_closure_edge
+                            voters = self._closure_voters(observations, t)
+                            if voters and not synced_for_boot:
+                                self.sync()   # fresh host mirror for paths
+                                synced_for_boot = True
+                            status, T = bootstrap_closure_edge(
+                                self, t, voters, init)
+                            if status == "ok":
+                                init = np.asarray(T, np.float32)
+                            elif status == "reject":
+                                continue      # defer: ECP re-votes later
                         e = self._add_edge(kf_id, t, init)
                         self.graph.add_edge(kf_id, t)
                         info.created_edge_ids.append(e)
@@ -409,6 +433,22 @@ class SrbaEngine:
             print(f"[srba] kf={kf_id} edges+={len(info.created_edge_ids)} "
                   f"opt={info.optimize_results}")
         return info
+
+    def _closure_voters(self, observations, center: int):
+        """Re-observed landmarks usable to bootstrap a closure edge to
+        ``center``: known landmarks whose base KF is reachable from the
+        center within the tree depth."""
+        out = []
+        depth = self.parameters.max_tree_depth
+        for o in observations:
+            lm = self._lm_id_map.get(o.lm_id)
+            if lm is None:
+                continue
+            base = int(self.state.lm_base[lm])
+            if base == center or self.graph.path(
+                    center, base, depth) is not None:
+                out.append((lm, np.asarray(o.z, np.float32)))
+        return out
 
     def add_observation(self, kf_id: int, lm_id: int, z,
                         fixed_rel_pos=None, init_rel_pos=None) -> int:

@@ -33,8 +33,6 @@ def _encode_calib(calib):
 def _decode_calib(enc):
     if enc is None:
         return None
-    import jax.numpy as jnp
-
     from srba_tpu.models.observations import CameraCalib, StereoCalib
     kinds = {"CameraCalib": CameraCalib, "StereoCalib": StereoCalib}
     cls = kinds.get(enc["kind"])
@@ -42,7 +40,8 @@ def _decode_calib(enc):
         raise ValueError(
             f"checkpoint has unknown calibration kind {enc['kind']!r}; "
             "pass calib= explicitly to load_checkpoint")
-    return cls(**{k: jnp.asarray(v, jnp.float32)
+    # Numpy leaves on purpose (see CameraCalib docstring).
+    return cls(**{k: np.asarray(v, np.float32)
                   for k, v in enc["values"].items()})
 
 

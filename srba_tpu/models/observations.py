@@ -34,15 +34,23 @@ from srba_tpu.ops.lie import SE2, SE3, wrap_angle
 
 def _xp(a):
     """Namespace dispatch: numpy in -> numpy out (host path, no device
-    round-trip), anything else -> jnp.  Only the ``inverse`` sensor models
-    use this — they run on the host during landmark initialization, where a
-    per-call device dispatch through the remote-TPU tunnel costs ~ms."""
+    round-trip), anything else -> jnp.  Used by the ``inverse`` sensor
+    models (host-side landmark initialization) and by the point-model ``h``
+    functions so dataset generation runs entirely on the host (numpy calib
+    in, numpy out) — under jit the operand is a tracer and the jnp branch
+    is taken, so the solver path is unchanged."""
     return np if isinstance(a, np.ndarray) else jnp
 
 
 @struct.dataclass
 class CameraCalib:
-    """Pinhole calibration (analog of ``mrpt::utils::TCamera``)."""
+    """Pinhole calibration (analog of ``mrpt::utils::TCamera``).
+
+    Leaves are HOST numpy scalars: jit consumes them as operands exactly
+    like device arrays, while host-side consumers (dataset generation,
+    inverse sensor models, closure bootstrap) read them without a device
+    fetch — fetching a committed scalar through the remote-TPU tunnel
+    measured 60+ s."""
 
     fx: jnp.ndarray
     fy: jnp.ndarray
@@ -50,10 +58,10 @@ class CameraCalib:
     cy: jnp.ndarray
 
     @staticmethod
-    def make(fx=200.0, fy=200.0, cx=160.0, cy=120.0, dtype=jnp.float32):
+    def make(fx=200.0, fy=200.0, cx=160.0, cy=120.0, dtype=np.float32):
         return CameraCalib(
-            fx=jnp.asarray(fx, dtype), fy=jnp.asarray(fy, dtype),
-            cx=jnp.asarray(cx, dtype), cy=jnp.asarray(cy, dtype),
+            fx=np.asarray(fx, dtype), fy=np.asarray(fy, dtype),
+            cx=np.asarray(cx, dtype), cy=np.asarray(cy, dtype),
         )
 
 
@@ -70,11 +78,11 @@ class StereoCalib:
 
     @staticmethod
     def make(fx=200.0, fy=200.0, cx=160.0, cy=120.0, baseline=0.12,
-             dtype=jnp.float32):
+             dtype=np.float32):
         return StereoCalib(
-            fx=jnp.asarray(fx, dtype), fy=jnp.asarray(fy, dtype),
-            cx=jnp.asarray(cx, dtype), cy=jnp.asarray(cy, dtype),
-            baseline=jnp.asarray(baseline, dtype),
+            fx=np.asarray(fx, dtype), fy=np.asarray(fy, dtype),
+            cx=np.asarray(cx, dtype), cy=np.asarray(cy, dtype),
+            baseline=np.asarray(baseline, dtype),
         )
 
 
@@ -139,10 +147,11 @@ class RangeBearing2D(_PointObs):
 
     @staticmethod
     def h(lm_in_sensor, calib=None):
+        xp = _xp(lm_in_sensor)
         x, y = lm_in_sensor[..., 0], lm_in_sensor[..., 1]
-        r = jnp.sqrt(x * x + y * y + _SAFE)
-        yaw = jnp.arctan2(y, x + _SAFE)
-        return jnp.stack([r, yaw], axis=-1)
+        r = xp.sqrt(x * x + y * y + _SAFE)
+        yaw = xp.arctan2(y, x + _SAFE)
+        return xp.stack([r, yaw], axis=-1)
 
     @classmethod
     def residual(cls, pred, z):
@@ -168,12 +177,13 @@ class RangeBearing3D(_PointObs):
 
     @staticmethod
     def h(lm_in_sensor, calib=None):
+        xp = _xp(lm_in_sensor)
         x, y, z = (lm_in_sensor[..., 0], lm_in_sensor[..., 1],
                    lm_in_sensor[..., 2])
-        r = jnp.sqrt(x * x + y * y + z * z + _SAFE)
-        yaw = jnp.arctan2(y, x + _SAFE)
-        pitch = jnp.arctan2(-z, jnp.sqrt(x * x + y * y + _SAFE))
-        return jnp.stack([r, yaw, pitch], axis=-1)
+        r = xp.sqrt(x * x + y * y + z * z + _SAFE)
+        yaw = xp.arctan2(y, x + _SAFE)
+        pitch = xp.arctan2(-z, xp.sqrt(x * x + y * y + _SAFE))
+        return xp.stack([r, yaw, pitch], axis=-1)
 
     @classmethod
     def residual(cls, pred, z):
@@ -211,11 +221,12 @@ class MonocularCamera(_PointObs):
 
     @staticmethod
     def h(lm_in_sensor, calib: CameraCalib):
+        xp = _xp(lm_in_sensor)
         zc = lm_in_sensor[..., 2]
-        inv_z = 1.0 / jnp.maximum(zc, 1e-4)
+        inv_z = 1.0 / xp.maximum(zc, 1e-4)
         u = calib.cx + calib.fx * lm_in_sensor[..., 0] * inv_z
         v = calib.cy + calib.fy * lm_in_sensor[..., 1] * inv_z
-        return jnp.stack([u, v], axis=-1)
+        return xp.stack([u, v], axis=-1)
 
     @classmethod
     def inverse(cls, z, calib: CameraCalib, depth=None):
@@ -239,14 +250,15 @@ class StereoCamera(_PointObs):
 
     @staticmethod
     def h(lm_in_sensor, calib: StereoCalib):
+        xp = _xp(lm_in_sensor)
         x, y, zc = (lm_in_sensor[..., 0], lm_in_sensor[..., 1],
                     lm_in_sensor[..., 2])
-        inv_z = 1.0 / jnp.maximum(zc, 1e-4)
+        inv_z = 1.0 / xp.maximum(zc, 1e-4)
         ul = calib.cx + calib.fx * x * inv_z
         vl = calib.cy + calib.fy * y * inv_z
         ur = calib.cx + calib.fx * (x - calib.baseline) * inv_z
         vr = vl
-        return jnp.stack([ul, vl, ur, vr], axis=-1)
+        return xp.stack([ul, vl, ur, vr], axis=-1)
 
     @staticmethod
     def inverse(z, calib: StereoCalib):

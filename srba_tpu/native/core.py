@@ -113,10 +113,12 @@ class NativeCore:
                 return None
             if rc == 0:
                 break
-            # Too small: re-bucket to the required counts and retry.
-            cap_E = _bucket(int(counts[0]), E_MIN)
-            cap_L = _bucket(int(counts[1]), L_MIN)
-            cap_N = _bucket(int(counts[2]), N_MIN)
+            # Too small: re-bucket to the required counts and retry.  Keep
+            # the ratchet monotone per dimension — replacing a sticky cap
+            # with a smaller requirement would re-introduce shape churn.
+            cap_E = max(cap_E, _bucket(int(counts[0]), E_MIN))
+            cap_L = max(cap_L, _bucket(int(counts[1]), L_MIN))
+            cap_N = max(cap_N, _bucket(int(counts[2]), N_MIN))
         else:
             raise RuntimeError("native window build failed to converge")
         self._caps = (cap_E, cap_L, cap_N)

@@ -8,8 +8,11 @@ through any of the registered observation models with Gaussian noise, plus
 noisy odometry and ATE evaluation against ground truth.
 
 Observation values are produced by the *same* jnp model ``h`` functions the
-solver uses (one batched device call per dataset), so generator and solver
-can never drift apart.
+solver uses (one batched call per dataset), so generator and solver can
+never drift apart.  The call is pinned to the HOST CPU backend: pushing a
+500k-point batch through the tunneled remote TPU costs minutes of transfer
+(measured 140 s) vs 0.5 s locally, and dataset generation is not the
+workload under test.
 """
 
 from __future__ import annotations
@@ -92,6 +95,22 @@ def _camera_frame(pts_robot: np.ndarray) -> np.ndarray:
     return np.stack([-y, -z, x], axis=-1)
 
 
+
+def _h_on_host_cpu(model, pts: np.ndarray, calib: Any) -> np.ndarray:
+    """Evaluate a model's ``h`` entirely on the host: the ``h`` functions
+    are xp-generic (numpy in -> numpy out), so dataset generation never
+    touches a device — pushing dataset-sized batches through the tunneled
+    TPU costs minutes of transfer, and even the in-process CPU backend
+    showed multi-minute stalls under the axon plugin."""
+    if calib is not None:
+        import jax
+        # Fetch each (tiny scalar) calib leaf off-device once.
+        calib = jax.tree.map(
+            lambda x: np.asarray(jax.device_get(x), np.float32), calib)
+    return np.asarray(model.h(np.asarray(pts, np.float32), calib),
+                      np.float32)
+
+
 def observe(world: World, obs_model: str, calib: Any = None,
             noise_std: float = 0.0, sensor_range: float = 6.0,
             image_size: Tuple[int, int] = (320, 240),
@@ -117,9 +136,8 @@ def observe(world: World, obs_model: str, calib: Any = None,
 
     if is_camera:
         cam_pts = _camera_frame(pts) if camera_frame_convention else pts
-        zs = jax.device_get(
-            model.h(jnp.asarray(cam_pts.reshape(K * M, -1), jnp.float32),
-                    calib)).reshape(K, M, -1)
+        zs = _h_on_host_cpu(model, cam_pts.reshape(K * M, -1),
+                            calib).reshape(K, M, -1)
         w, h = image_size
         vis = (cam_pts[..., 2] > min_depth)
         vis &= (zs[..., 0] >= 0) & (zs[..., 0] < w)
@@ -128,9 +146,8 @@ def observe(world: World, obs_model: str, calib: Any = None,
             vis &= (zs[..., 2] >= 0) & (zs[..., 2] < w)
         vis &= np.linalg.norm(cam_pts, axis=-1) < sensor_range
     else:
-        zs = jax.device_get(
-            model.h(jnp.asarray(pts.reshape(K * M, -1), jnp.float32),
-                    calib)).reshape(K, M, -1)
+        zs = _h_on_host_cpu(model, pts.reshape(K * M, -1),
+                            calib).reshape(K, M, -1)
         vis = np.linalg.norm(pts, axis=-1) < sensor_range
 
     noise = rng.normal(0.0, noise_std, zs.shape).astype(np.float32)
@@ -206,8 +223,7 @@ def observe_sparse(world: World, obs_model: str, calib: Any = None,
     pts = group.apply(inv_poses[pk], world.landmarks[pm])   # [P, pd]
     if is_camera:
         cam_pts = _camera_frame(pts) if camera_frame_convention else pts
-        zs = jax.device_get(model.h(jnp.asarray(cam_pts, jnp.float32),
-                                    calib))
+        zs = _h_on_host_cpu(model, cam_pts, calib)
         w, h = image_size
         vis = (cam_pts[..., 2] > min_depth)
         vis &= (zs[..., 0] >= 0) & (zs[..., 0] < w)
@@ -216,7 +232,7 @@ def observe_sparse(world: World, obs_model: str, calib: Any = None,
             vis &= (zs[..., 2] >= 0) & (zs[..., 2] < w)
         vis &= np.linalg.norm(cam_pts, axis=-1) < sensor_range
     else:
-        zs = jax.device_get(model.h(jnp.asarray(pts, jnp.float32), calib))
+        zs = _h_on_host_cpu(model, pts, calib)
         vis = np.linalg.norm(pts, axis=-1) < sensor_range
     zs = (zs + rng.normal(0.0, noise_std, zs.shape)).astype(np.float32)
 
