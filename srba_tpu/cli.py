@@ -98,6 +98,17 @@ def build_parser() -> argparse.ArgumentParser:
                      help="stop after this many keyframes (with "
                           "--save-checkpoint this simulates preemption: "
                           "resume later with --resume-checkpoint)")
+    out.add_argument("--metrics-jsonl",
+                     help="write one JSON line of per-keyframe metrics "
+                          "(errors, iters, lambda, edge/obs counts, wall "
+                          "ms) to this file — the structured observability "
+                          "stream (device values resolved lazily at the "
+                          "end, so the async per-KF loop stays unsynced)")
+    out.add_argument("--autosave-checkpoint",
+                     help="preemption safety: save a checkpoint here every "
+                          "--autosave-every keyframes AND on SIGTERM/SIGINT "
+                          "(then exit 0) — resume with --resume-checkpoint")
+    out.add_argument("--autosave-every", type=int, default=200)
     out.add_argument("--json", action="store_true",
                      help="print final summary as one JSON line")
     out.add_argument("--verbose", type=int, default=0)
@@ -115,7 +126,7 @@ def _make_engine(args, obs_model):
     from srba_tpu.ops.np_lie import CAMERA_SENSOR_POSE_SE3
 
     calib = None
-    if obs_model == "MonocularCamera":
+    if obs_model in ("MonocularCamera", "RGBDCamera"):
         calib = CameraCalib.make(args.fx, args.fy, args.cx, args.cy)
     elif obs_model == "StereoCamera":
         calib = StereoCalib.make(args.fx, args.fy, args.cx, args.cy,
@@ -230,8 +241,24 @@ def main(argv=None) -> int:
     stop = len(frames)
     if args.limit_kfs is not None:
         stop = min(stop, int(args.limit_kfs))
+
+    # Preemption handling (elastic recovery): on SIGTERM/SIGINT save a
+    # resumable checkpoint and exit cleanly; the reference has no recovery
+    # story at all (SURVEY.md §6 "recovery = re-run the dataset").
+    preempted = {"flag": False}
+    if args.autosave_checkpoint:
+        import signal
+
+        def _on_preempt(signum, frame):
+            preempted["flag"] = True
+
+        signal.signal(signal.SIGTERM, _on_preempt)
+        signal.signal(signal.SIGINT, _on_preempt)
+
+    metrics = [] if args.metrics_jsonl else None
     t0 = time.perf_counter()
     for k in range(start, stop):
+        t_kf = time.perf_counter()
         obs = [Observation(lm_id=m, z=z) for m, z in frames[k]]
         edge_init = None
         if k > 0 and odometry[k - 1] is not None:
@@ -239,10 +266,32 @@ def main(argv=None) -> int:
         info = eng.define_new_keyframe(
             obs, run_local_optimization=not args.no_local_opt,
             edge_init=edge_init)
+        if metrics is not None:
+            # optimize_results is a LazyInfo: keep the reference, resolve at
+            # flush time so the per-KF loop never syncs the device.
+            metrics.append((k, len(obs), len(info.created_edge_ids),
+                            (time.perf_counter() - t_kf) * 1e3,
+                            info.optimize_results))
         if args.step_by_step:
             print(f"kf {k}: edges+={len(info.created_edge_ids)} "
                   f"{info.optimize_results}", file=sys.stderr)
+        if args.autosave_checkpoint and (
+                preempted["flag"]
+                or (k > start and (k - start) % args.autosave_every == 0)):
+            save_checkpoint(eng, args.autosave_checkpoint)
+            if preempted["flag"]:
+                print(f"preempted at kf {k}: checkpoint saved to "
+                      f"{args.autosave_checkpoint}", file=sys.stderr)
+                return 0
     wall = time.perf_counter() - t0
+
+    if metrics is not None:
+        with open(args.metrics_jsonl, "w") as f:
+            for k, n_obs, n_edges, ms, r in metrics:
+                row = {"kf": k, "num_obs": n_obs, "edges_created": n_edges,
+                       "wall_ms": round(ms, 3)}
+                row.update({key: float(v) for key, v in r.items()})
+                f.write(json.dumps(row) + "\n")
 
     if args.global_opt:
         _, ginfo = eng.optimize_global()

@@ -270,6 +270,40 @@ class StereoCamera(_PointObs):
         return xp.stack([x, y, depth], axis=-1)
 
 
+class RGBDCamera(_PointObs):
+    """RGB-D camera: pinhole pixel + metric depth, obs = (u, v, d) with the
+    camera looking along +z.  Not in the reference's model set (its eight
+    types stop at stereo; ``include/srba/models/observations.h``, public
+    MRPT/srba layout) — added here because depth cameras are the modern
+    indoor default and BASELINE.json's north star names RGB-D residuals
+    explicitly.  The depth channel makes the inverse sensor model exact, so
+    RGB-D landmarks need no external triangulation front-end and loop
+    closures bootstrap through the closed-form Kabsch path
+    (engine/closure.py)."""
+
+    name = "RGBDCamera"
+    obs_dim = 3
+    lm_dim = 3
+    pose_group = SE3
+
+    @staticmethod
+    def h(lm_in_sensor, calib: CameraCalib):
+        xp = _xp(lm_in_sensor)
+        zc = lm_in_sensor[..., 2]
+        inv_z = 1.0 / xp.maximum(zc, 1e-4)
+        u = calib.cx + calib.fx * lm_in_sensor[..., 0] * inv_z
+        v = calib.cy + calib.fy * lm_in_sensor[..., 1] * inv_z
+        return xp.stack([u, v, zc], axis=-1)
+
+    @staticmethod
+    def inverse(z, calib: CameraCalib):
+        xp = _xp(z)
+        d = z[..., 2]
+        x = (z[..., 0] - calib.cx) / calib.fx * d
+        y = (z[..., 1] - calib.cy) / calib.fy * d
+        return xp.stack([x, y, d], axis=-1)
+
+
 class RelativePoses2D:
     """Graph-SLAM mode: the 'landmark' is another keyframe's relative SE(2)
     pose; the observation is a measured relative pose (x, y, yaw).  No Schur
@@ -322,13 +356,14 @@ class RelativePoses3D:
 
 
 for _m in [Cartesian2D, Cartesian3D, RangeBearing2D, RangeBearing3D,
-           MonocularCamera, StereoCamera]:
+           MonocularCamera, StereoCamera, RGBDCamera]:
     _m.z_dim = _m.obs_dim
 
 OBSERVATION_MODELS = {
     m.name: m
     for m in [
         Cartesian2D, Cartesian3D, RangeBearing2D, RangeBearing3D,
-        MonocularCamera, StereoCamera, RelativePoses2D, RelativePoses3D,
+        MonocularCamera, StereoCamera, RGBDCamera,
+        RelativePoses2D, RelativePoses3D,
     ]
 }

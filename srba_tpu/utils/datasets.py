@@ -128,7 +128,8 @@ def observe(world: World, obs_model: str, calib: Any = None,
     rng = np.random.default_rng(seed + 1)
     K = world.gt_poses.shape[0]
     M = world.landmarks.shape[0]
-    is_camera = obs_model in ("MonocularCamera", "StereoCamera")
+    is_camera = obs_model in ("MonocularCamera", "StereoCamera",
+                          "RGBDCamera")
 
     # Landmarks in every robot frame: [K, M, pd].
     inv_poses = group.inverse(world.gt_poses)            # [K, pose_dim]
@@ -192,7 +193,8 @@ def observe_sparse(world: World, obs_model: str, calib: Any = None,
     group = NP_GROUPS[world.group_name]
     rng = np.random.default_rng(seed + 1)
     K = world.gt_poses.shape[0]
-    is_camera = obs_model in ("MonocularCamera", "StereoCamera")
+    is_camera = obs_model in ("MonocularCamera", "StereoCamera",
+                          "RGBDCamera")
 
     # Spatial hash of landmarks on (x, y).
     cell = float(sensor_range)

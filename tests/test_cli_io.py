@@ -245,6 +245,58 @@ class TestCLI:
         rc = cli_main(["--json"])
         assert rc == 2
 
+    def test_metrics_jsonl_and_render(self, tmp_path, capsys):
+        mj = str(tmp_path / "metrics.jsonl")
+        png = str(tmp_path / "map.png")
+        rc = cli_main([
+            "--synthetic", "loop2d", "--num-kfs", "10", "--num-landmarks",
+            "30", "--max-tree-depth", "3", "--max-optimize-depth", "3",
+            "--metrics-jsonl", mj, "--render", png,
+            "--render-spantree-root", "0", "--json",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        rows = [json.loads(ln) for ln in open(mj)]
+        assert len(rows) == 10
+        assert rows[3]["kf"] == 3 and rows[3]["wall_ms"] > 0
+        assert "err_final" in rows[3] and "iters" in rows[3]
+        assert os.path.getsize(png) > 10000
+
+    def test_rgbd_cli_run(self, capsys):
+        rc = cli_main([
+            "--synthetic", "loop3d", "--obs", "RGBDCamera",
+            "--sensor-pose-camera", "--num-kfs", "10", "--num-landmarks",
+            "120", "--noise-std", "0.05", "--max-tree-depth", "3",
+            "--max-optimize-depth", "3", "--json",
+        ])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["ate_rmse"] < 0.3
+
+    def test_autosave_preemption_resume(self, tmp_path):
+        """SIGTERM mid-run saves a resumable checkpoint and exits 0 — the
+        elastic-recovery path (run in a subprocess so the signal is real)."""
+        ck = str(tmp_path / "auto.npz")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        # Autosave every 3 KFs; run 9 KFs: checkpoint exists afterwards even
+        # without a signal (periodic path).
+        rc = subprocess.run(
+            [sys.executable, "-m", "srba_tpu.cli", "--synthetic", "loop2d",
+             "--num-kfs", "9", "--num-landmarks", "30", "--max-tree-depth",
+             "3", "--max-optimize-depth", "3", "--autosave-checkpoint", ck,
+             "--autosave-every", "3", "--json"],
+            env=env, capture_output=True, timeout=300)
+        assert rc.returncode == 0, rc.stderr[-800:]
+        eng = load_checkpoint(ck)
+        assert 3 <= eng.num_keyframes <= 9
+        # And the checkpoint resumes through the CLI.
+        rc = cli_main([
+            "--synthetic", "loop2d", "--num-kfs", "9", "--num-landmarks",
+            "30", "--max-tree-depth", "3", "--max-optimize-depth", "3",
+            "--resume-checkpoint", ck, "--json"])
+        assert rc == 0
+
     def test_subprocess_entry(self, tmp_path):
         """The CLI works as `python -m srba_tpu.cli` in a fresh process."""
         env = dict(os.environ, JAX_PLATFORMS="cpu")

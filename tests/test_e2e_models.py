@@ -121,6 +121,34 @@ class TestStereo:
         assert _ate(eng, world) < 0.5
 
 
+class TestRGBD:
+    """RGB-D camera (beyond the reference's model set; BASELINE.json north
+    star): pixel + metric depth, exact inverse sensor model, camera mounted
+    through the SE(3) sensor pose."""
+
+    def _make(self, noise=0.0, odo_noise=0.0, n=15):
+        world = make_world_loop_3d(num_kfs=n, radius=6.0, num_landmarks=150,
+                                   height_amp=0.5, seed=12)
+        calib = CameraCalib.make()
+        ds = observe(world, "RGBDCamera", calib=calib, noise_std=noise,
+                     sensor_range=8.0, odo_noise_std=odo_noise, seed=12)
+        eng = SrbaEngine(
+            "RGBDCamera", calib=calib,
+            sensor_pose=SensorPoseSE3(CAMERA_SENSOR_POSE_SE3),
+            params=PARAMS)
+        return world, ds, eng
+
+    def test_zero_noise(self):
+        world, ds, eng = self._make()
+        _drive(eng, ds)
+        assert _ate(eng, world) < 1e-2
+
+    def test_noisy(self):
+        world, ds, eng = self._make(noise=0.15, odo_noise=0.01)
+        _drive(eng, ds)
+        assert _ate(eng, world) < 0.25
+
+
 class TestMonocular:
     def test_with_provided_inits(self):
         world = make_world_loop_3d(num_kfs=12, radius=6.0, num_landmarks=150,

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from srba_tpu.models.observations import (
-    OBSERVATION_MODELS, CameraCalib, StereoCalib,
+    OBSERVATION_MODELS, CameraCalib, RGBDCamera, StereoCalib,
     Cartesian2D, Cartesian3D, MonocularCamera, RangeBearing2D, RangeBearing3D,
     RelativePoses2D, RelativePoses3D, StereoCamera,
 )
@@ -20,16 +20,17 @@ KEY = jax.random.PRNGKey(7)
 CALIBS = {
     "MonocularCamera": CameraCalib.make(),
     "StereoCamera": StereoCalib.make(),
+    "RGBDCamera": CameraCalib.make(),
 }
 
 POINT_MODELS = [Cartesian2D, Cartesian3D, RangeBearing2D, RangeBearing3D,
-                MonocularCamera, StereoCamera]
+                MonocularCamera, StereoCamera, RGBDCamera]
 
 
 def _sample_points(model, n=32):
     """Sensor-frame landmark samples in the model's valid domain."""
     pts = jax.random.normal(KEY, (n, model.lm_dim)) * 2.0
-    if model in (MonocularCamera, StereoCamera):
+    if model in (MonocularCamera, StereoCamera, RGBDCamera):
         # Keep points well in front of the camera.
         pts = pts.at[:, 2].set(jnp.abs(pts[:, 2]) + 1.0)
     else:
@@ -130,7 +131,8 @@ def test_relative_pose_residual(model):
 def test_registry_complete():
     assert set(OBSERVATION_MODELS) == {
         "Cartesian2D", "Cartesian3D", "RangeBearing2D", "RangeBearing3D",
-        "MonocularCamera", "StereoCamera", "RelativePoses2D", "RelativePoses3D",
+        "MonocularCamera", "StereoCamera", "RGBDCamera",
+        "RelativePoses2D", "RelativePoses3D",
     }
     for m in OBSERVATION_MODELS.values():
         assert m.z_dim >= m.obs_dim
