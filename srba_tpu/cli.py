@@ -191,7 +191,7 @@ def _synthetic(args):
              else make_world_loop_3d(args.num_kfs, 10.0, args.num_landmarks,
                                      seed=args.seed))
     calib = None
-    if args.obs == "MonocularCamera":
+    if args.obs in ("MonocularCamera", "RGBDCamera"):
         calib = CameraCalib.make(args.fx, args.fy, args.cx, args.cy)
     elif args.obs == "StereoCamera":
         calib = StereoCalib.make(args.fx, args.fy, args.cx, args.cy,
@@ -313,6 +313,18 @@ def main(argv=None) -> int:
         d = 2 if eng.group.name == "SE2" else 3
         n = min(len(G), len(gt_poses))
         summary["ate_rmse"] = round(ate_rmse(G[:n, :d], gt_poses[:n, :d]), 6)
+
+    if args.render:
+        from srba_tpu.io.render import render_engine_png
+        gt_xy = None
+        if gt_poses is not None:
+            d = 2 if eng.group.name == "SE2" else 3
+            gt_xy = np.asarray(gt_poses)[:, :d]
+        render_engine_png(eng, args.render,
+                          span_tree_root=args.render_spantree_root,
+                          gt_positions=gt_xy,
+                          title=f"{obs_model} — {eng.num_keyframes} KFs")
+        print(f"map rendered to {args.render}", file=sys.stderr)
 
     if args.save_checkpoint:
         save_checkpoint(eng, args.save_checkpoint)
