@@ -79,6 +79,7 @@ def _ate_of(eng, world, d):
 
 def bench_config1():
     from srba_tpu import SrbaEngine, SrbaParams
+    from srba_tpu.models.noise import NoiseIdentity
     from srba_tpu.utils.datasets import make_world_loop_2d, observe
 
     K = 100
@@ -89,7 +90,7 @@ def bench_config1():
 
     def run():
         eng = SrbaEngine(
-            "RangeBearing2D",
+            "RangeBearing2D", noise=NoiseIdentity(0.005),
             params=SrbaParams(max_tree_depth=4, max_optimize_depth=4))
         return eng, _drive(eng, ds)
 
@@ -107,6 +108,7 @@ def bench_config1():
 
 def bench_config2(K=100):
     from srba_tpu import SrbaEngine, SrbaParams
+    from srba_tpu.models.noise import NoiseIdentity
     from srba_tpu.utils.datasets import make_world_loop_3d, observe
 
     world = make_world_loop_3d(num_kfs=K, radius=9.0, num_landmarks=250,
@@ -116,7 +118,7 @@ def bench_config2(K=100):
 
     def run():
         eng = SrbaEngine(
-            "RangeBearing3D",
+            "RangeBearing3D", noise=NoiseIdentity(0.005),
             params=SrbaParams(max_tree_depth=4, max_optimize_depth=4))
         return eng, _drive(eng, ds)
 
@@ -137,6 +139,7 @@ def bench_config3(K=500):
     story, in-framework."""
     from srba_tpu import SrbaEngine, SrbaParams
     from srba_tpu.ecps import LocalAreasFixedGrid
+    from srba_tpu.models.noise import NoiseIdentity
     from srba_tpu.models.observations import StereoCalib
     from srba_tpu.models.sensor_pose import SensorPoseSE3
     from srba_tpu.ops.np_lie import CAMERA_SENSOR_POSE_SE3
@@ -151,7 +154,7 @@ def bench_config3(K=500):
 
     def run():
         eng = SrbaEngine(
-            "StereoCamera", calib=calib,
+            "StereoCamera", calib=calib, noise=NoiseIdentity(0.3),
             sensor_pose=SensorPoseSE3(CAMERA_SENSOR_POSE_SE3),
             ecp=LocalAreasFixedGrid(submap_size=10,
                                     min_obs_count_loop_closure=5),
@@ -172,6 +175,7 @@ def bench_config3(K=500):
 
 def bench_config4(K=150):
     from srba_tpu import SrbaEngine, SrbaParams
+    from srba_tpu.models.noise import NoiseIdentity
     from srba_tpu.utils.datasets import (make_graph_slam_dataset,
                                          make_world_loop_2d)
 
@@ -183,7 +187,7 @@ def bench_config4(K=150):
 
     def run():
         eng = SrbaEngine(
-            "RelativePoses2D",
+            "RelativePoses2D", noise=NoiseIdentity(0.002),
             params=SrbaParams(max_tree_depth=4, max_optimize_depth=4))
         return eng, _drive(eng, ds)
 
@@ -200,6 +204,7 @@ def bench_config4(K=150):
 def bench_config5(K=5000):
     from srba_tpu import Observation, SrbaEngine, SrbaParams
     from srba_tpu.ecps import LocalAreasFixedGrid
+    from srba_tpu.models.noise import NoiseIdentity
     from srba_tpu.models.observations import CameraCalib
     from srba_tpu.models.sensor_pose import SensorPoseSE3
     from srba_tpu.ops.np_lie import CAMERA_SENSOR_POSE_SE3, NpSE3
@@ -216,7 +221,7 @@ def bench_config5(K=5000):
     inv = NpSE3.inverse
 
     eng = SrbaEngine(
-        "MonocularCamera", calib=calib,
+        "MonocularCamera", calib=calib, noise=NoiseIdentity(0.3),
         sensor_pose=SensorPoseSE3(CAMERA_SENSOR_POSE_SE3),
         ecp=LocalAreasFixedGrid(submap_size=10,
                                 min_obs_count_loop_closure=6),

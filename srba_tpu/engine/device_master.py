@@ -101,10 +101,15 @@ class DeviceMaster:
         self.pose_dim = pose_dim
         self.lm_dim = lm_dim
         self.pose = jnp.zeros((self.INIT_EDGE_CAP, pose_dim), jnp.float32)
+        # Edge measurement priors: [prior pose || weight] per edge row,
+        # appended in lockstep with ``pose`` (write-once; never scattered).
+        self.prior = jnp.zeros((self.INIT_EDGE_CAP, pose_dim + 1),
+                               jnp.float32)
         self.lm = jnp.zeros((self.INIT_LM_CAP, lm_dim), jnp.float32)
         self.num_edges = 0          # rows materialized on device
         self.num_lms = 0
         self._pend_edges: List[np.ndarray] = []
+        self._pend_priors: List[np.ndarray] = []
         self._pend_lms: List[np.ndarray] = []
         self._append_fn = make_append_only(pose_dim, lm_dim)
         self.dirty = False          # device ahead of host mirror
@@ -115,8 +120,11 @@ class DeviceMaster:
 
     # -- staging -------------------------------------------------------------
 
-    def stage_edge(self, pose_row: np.ndarray) -> None:
-        self._pend_edges.append(np.asarray(pose_row, np.float32))
+    def stage_edge(self, pose_row: np.ndarray, prior_w: float = 0.0) -> None:
+        row = np.asarray(pose_row, np.float32)
+        self._pend_edges.append(row)
+        self._pend_priors.append(
+            np.concatenate([row, [np.float32(prior_w)]]))
 
     def stage_landmark(self, lm_row: np.ndarray) -> None:
         self._pend_lms.append(np.asarray(lm_row, np.float32))
@@ -129,13 +137,17 @@ class DeviceMaster:
         n_e, n_l = len(self._pend_edges), len(self._pend_lms)
         pad_e = _bucket_pow2(max(n_e, 1), self.PAD_E_MIN)
         pad_l = _bucket_pow2(max(n_l, 1), self.PAD_L_MIN)
-        rows = np.zeros(pad_e * self.pose_dim + pad_l * self.lm_dim,
+        pd1 = self.pose_dim + 1
+        rows = np.zeros(pad_e * (self.pose_dim + pd1) + pad_l * self.lm_dim,
                         np.float32)
         if n_e:
             rows[: n_e * self.pose_dim] = np.concatenate(
                 [r.ravel() for r in self._pend_edges])
-        if n_l:
             base = pad_e * self.pose_dim
+            rows[base: base + n_e * pd1] = np.concatenate(
+                [r.ravel() for r in self._pend_priors])
+        if n_l:
+            base = pad_e * (self.pose_dim + pd1)
             rows[base: base + n_l * self.lm_dim] = np.concatenate(
                 [r.ravel() for r in self._pend_lms])
         offsets = np.asarray([self.num_edges, self.num_lms], np.int32)
@@ -143,6 +155,7 @@ class DeviceMaster:
         self.num_edges += n_e
         self.num_lms += n_l
         self._pend_edges.clear()
+        self._pend_priors.clear()
         self._pend_lms.clear()
         return rows, offsets, pad_e, pad_l
 
@@ -152,6 +165,7 @@ class DeviceMaster:
             while ecap < n_edges:
                 ecap *= 4
             self.pose = grow_master(self.pose, ecap)
+            self.prior = grow_master(self.prior, ecap)
         lcap = self.lm.shape[0]
         if n_lms > lcap:
             while lcap < n_lms:
@@ -165,8 +179,8 @@ class DeviceMaster:
         if not self._pend_edges and not self._pend_lms:
             return
         rows, offsets, pad_e, pad_l = self._take_staging()
-        self.pose, self.lm = self._append_fn(
-            self.pose, self.lm, rows, offsets, pad_e, pad_l)
+        self.pose, self.prior, self.lm = self._append_fn(
+            self.pose, self.prior, self.lm, rows, offsets, pad_e, pad_l)
 
     def step(self, cfg, whitener, sensor_pose_inv, calib,
              edge_ids, edge_opt, lm_ids, lm_opt, obs_lm, obs_valid,
@@ -190,8 +204,8 @@ class DeviceMaster:
             self._calib_dev = jax.tree.map(jnp.asarray, calib)
         fn = make_master_step(cfg)  # global per-config executable cache
         E, L, N = len(edge_ids), len(lm_ids), len(obs_lm)
-        self.pose, self.lm, info = fn(
-            self.pose, self.lm, jnp.asarray(wire),
+        self.pose, self.prior, self.lm, info = fn(
+            self.pose, self.prior, self.lm, jnp.asarray(wire),
             self._whitener_dev, self._spinv_dev, self._calib_dev,
             E, L, N, pad_e, pad_l, obs_z.shape[1])
         self.dirty = True
@@ -225,11 +239,15 @@ class DeviceMaster:
         self.dirty = False
 
     def upload_from_host(self, k2k_pose: np.ndarray, lm_state: np.ndarray,
-                         num_edges: int, num_lms: int) -> None:
-        """Replace device state wholesale (checkpoint load / rebuild)."""
+                         num_edges: int, num_lms: int,
+                         k2k_prior: np.ndarray = None,
+                         k2k_prior_w: np.ndarray = None) -> None:
+        """Replace device state wholesale (checkpoint load / rebuild).
+        Priors default to the uploaded poses with weight 0 (no factors)."""
         import jax.numpy as jnp
 
         self._pend_edges.clear()
+        self._pend_priors.clear()
         self._pend_lms.clear()
         self.num_edges = num_edges
         self.num_lms = num_lms
@@ -239,8 +257,15 @@ class DeviceMaster:
                    _bucket_pow2(num_lms + self.PAD_L_MIN, self.INIT_LM_CAP))
         pose = np.zeros((ecap, self.pose_dim), np.float32)
         pose[:num_edges] = k2k_pose[:num_edges]
+        prior = np.zeros((ecap, self.pose_dim + 1), np.float32)
+        prior[:num_edges, : self.pose_dim] = (
+            k2k_prior[:num_edges] if k2k_prior is not None
+            else k2k_pose[:num_edges])
+        if k2k_prior_w is not None:
+            prior[:num_edges, self.pose_dim] = k2k_prior_w[:num_edges]
         lm = np.zeros((lcap, self.lm_dim), np.float32)
         lm[:num_lms] = lm_state[:num_lms]
         self.pose = jnp.asarray(pose)
+        self.prior = jnp.asarray(prior)
         self.lm = jnp.asarray(lm)
         self.dirty = False

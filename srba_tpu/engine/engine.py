@@ -57,6 +57,22 @@ class SrbaParams:
     # closure_gate_px RMS are DEFERRED (the ECP re-votes next frames).
     closure_bootstrap: bool = True
     closure_gate_px: float = 25.0
+    # Closure observability gate: defer a closure whose fit predicts a
+    # worst-direction pose sigma above this (meters/radians) — either the
+    # residual is bad or the voter geometry is underdetermined
+    # (engine/closure.py _fit_sigma).  None disables the gate.
+    closure_max_sigma: Optional[float] = 0.3
+    # Edge measurement priors (state.k2k_prior): keep each edge's
+    # creation-time measured value (odometry / closure bootstrap) as a weak
+    # permanent factor in every window solve, weight 1/sigma^2 (scaled down
+    # by hop count for composed dead-reckoned seeds).  Guards against
+    # visually degenerate windows (at revisits most visible landmarks are
+    # based beyond the tree depth; the few in-window ones can leave a null
+    # space that reprojection-only LM slides along by meters — measured:
+    # stereo 60-KF loop, edge error 0.016 -> 2.9 m WITH local opt).  None
+    # disables the priors.
+    edge_prior_sigma: Optional[float] = 0.05
+    closure_prior_sigma: float = 0.25
     # LM solver knobs
     max_iters: int = 20
     lam0: float = 1e-4
@@ -206,10 +222,11 @@ class SrbaEngine:
     # Internal: state mutation + device staging
     # ------------------------------------------------------------------
 
-    def _add_edge(self, from_kf: int, to_kf: int, pose: np.ndarray) -> int:
-        e = self.state.add_edge(from_kf, to_kf, pose)
+    def _add_edge(self, from_kf: int, to_kf: int, pose: np.ndarray,
+                  prior_w: float = 0.0) -> int:
+        e = self.state.add_edge(from_kf, to_kf, pose, prior_w=prior_w)
         if self.device_master is not None:
-            self.device_master.stage_edge(pose)
+            self.device_master.stage_edge(pose, prior_w)
         if self.native is not None:
             self.native.add_edge(from_kf, to_kf)
         return e
@@ -336,16 +353,35 @@ class SrbaEngine:
                     return G_dr_new
 
                 synced_for_boot = False
+                closure_created = False
+                p_sigma = self.parameters.edge_prior_sigma
+                if getattr(self.model, "is_pose_landmark", False):
+                    # Graph-SLAM mode: every observation IS a direct edge
+                    # measurement, so windows are never visually degenerate
+                    # and an odometry prior would double-count/outvote the
+                    # loop-closure observations (whose whitened weight the
+                    # prior knows nothing about).
+                    p_sigma = None
                 for which, targets in (("primary", primary_targets),
                                        ("closure", closure_targets)):
                     for t in targets:
+                        # Prior weight: how much the seed is a MEASUREMENT
+                        # (see SrbaParams.edge_prior_sigma).
+                        prior_w = 0.0
                         if edge_init is not None and t in edge_init:
                             init = np.asarray(edge_init[t], np.float32)
+                            if p_sigma:
+                                prior_w = 1.0 / (p_sigma * p_sigma)
                         elif which == "primary" and G_dr_new is not None \
                                 and t < len(self._G_dr):
                             # Local link: dead-reckoned seed (drift between
                             # the new KF and a nearby target is tiny).
                             init = _seed_from(G_dr_new, self._G_dr[t])
+                            if p_sigma:
+                                # Composition of ~|kf-t| odometry steps:
+                                # variance grows linearly with hop count.
+                                hops = max(abs(kf_id - t), 1)
+                                prior_w = 1.0 / (p_sigma * p_sigma * hops)
                         else:
                             # Distant re-visit (or no odometry anchor): seed
                             # from the throttled optimized global estimate.
@@ -370,11 +406,16 @@ class SrbaEngine:
                                 self, t, voters, init)
                             if status == "ok":
                                 init = np.asarray(T, np.float32)
+                                if p_sigma:
+                                    cs = self.parameters.closure_prior_sigma
+                                    prior_w = 1.0 / (cs * cs)
                             elif status == "reject":
                                 continue      # defer: ECP re-votes later
-                        e = self._add_edge(kf_id, t, init)
+                        e = self._add_edge(kf_id, t, init, prior_w=prior_w)
                         self.graph.add_edge(kf_id, t)
                         info.created_edge_ids.append(e)
+                        if which == "closure":
+                            closure_created = True
 
                 # Record the new KF's dead-reckoned global pose: prefer the
                 # odometry anchor; else derive from the first created edge.
@@ -423,8 +464,16 @@ class SrbaEngine:
 
             if run_local_optimization and kf_id > 0:
                 with prof.scope("optimize_local_area"):
+                    # A fresh closure edge is refined at the FULL tree depth
+                    # (not the routine optimize depth): the deeper window
+                    # reaches the revisited area's landmarks on both sides
+                    # of the closure, so the bootstrap seed becomes a
+                    # measurement-refined edge immediately.
+                    depth = self.parameters.max_optimize_depth
+                    if closure_created:
+                        depth = max(depth, self.parameters.max_tree_depth)
                     info.optimize_results = self.optimize_local_area(
-                        kf_id, self.parameters.max_optimize_depth)
+                        kf_id, depth)
             elif self.device_master is not None:
                 # No solve this frame: still push staged rows to the device
                 # masters so they stay authoritative.
@@ -602,6 +651,8 @@ class SrbaEngine:
                     whitener=self._whitener,
                     sensor_pose_inv=self._sensor_pose_inv,
                     calib=self._calib_np,
+                    edge_prior=arrays.edge_prior,
+                    edge_prior_w=arrays.edge_prior_w,
                 )
                 solve, _ = make_spmd_solver(self._solver_cfg, self.mesh)
             else:
@@ -618,6 +669,8 @@ class SrbaEngine:
                     whitener=jnp.asarray(self._whitener),
                     sensor_pose_inv=jnp.asarray(self._sensor_pose_inv),
                     calib=self.calib,
+                    edge_prior=jnp.asarray(arrays.edge_prior),
+                    edge_prior_w=jnp.asarray(arrays.edge_prior_w),
                 )
                 solve, _ = get_solver(self._solver_cfg)
             edge_pose, lm_state, dev_info = solve(batch)
@@ -831,7 +884,8 @@ class SrbaEngine:
                 obs_z[wi] = obs_z[0]
 
             dm.pose, dm.lm, dev_info = step(
-                dm.pose, dm.lm, jnp.asarray(ints), jnp.asarray(obs_z),
+                dm.pose, dm.prior, dm.lm, jnp.asarray(ints),
+                jnp.asarray(obs_z),
                 dm._whitener_dev, dm._spinv_dev, dm._calib_dev, E, L, N)
             dm.dirty = True
             info_out["windows"] += float(len(wins))
@@ -864,8 +918,13 @@ class SrbaEngine:
             from srba_tpu.solver.global_graphslam import PGOConfig
             # Engine callers get the basin-robust path by default: chordal
             # initialization handles arbitrary accumulated orientation drift
-            # (solver/chordal.py) before the local LM-PCG refinement.
-            cfg = PGOConfig(group=self.group.name, chordal_init=True)
+            # (solver/chordal.py) before the local LM-PCG refinement, a
+            # pseudo-Huber edge loss caps the pull of any single biased
+            # closure, and per-edge observation-support weights (exported in
+            # the problem dict) mirror the reference's per-edge information
+            # matrices.
+            cfg = PGOConfig(group=self.group.name, chordal_init=True,
+                            robust_delta=0.1)
         G_opt, info = optimize_global_pose_graph(prob, cfg, mesh=mesh)
         if write_back and self.state.num_edges:
             a = self.state.k2k_from[: self.state.num_edges]
@@ -876,7 +935,9 @@ class SrbaEngine:
             if self.device_master is not None:
                 self.device_master.upload_from_host(
                     self.state.k2k_pose, self.state.lm_state,
-                    self.state.num_edges, self.state.num_lms)
+                    self.state.num_edges, self.state.num_lms,
+                    k2k_prior=self.state.k2k_prior,
+                    k2k_prior_w=self.state.k2k_prior_w)
             self._G_dr = [np.asarray(G_opt[k], np.float32)
                           for k in range(self.state.num_kfs)]
             self._seed_cache = None   # poses changed wholesale

@@ -57,6 +57,16 @@ class ProblemState:
     k2k_from: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
     k2k_to: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
     k2k_pose: Optional[np.ndarray] = None
+    # Creation-time edge measurement (odometry / closure bootstrap) kept as
+    # a permanent weak prior factor in every window solve (weight 0 = none).
+    # Rationale: local windows can be visually DEGENERATE (at map revisits
+    # most visible landmarks are based beyond the tree depth, leaving a few
+    # long-range ones), and a reprojection-only LM slides meters along the
+    # null space while residuals stay sub-pixel.  The odometry measurement
+    # is exactly the information that fills that null space.
+    k2k_prior: Optional[np.ndarray] = None
+    k2k_prior_w: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.float32))
 
     # landmarks
     lm_base: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
@@ -75,6 +85,8 @@ class ProblemState:
     def __post_init__(self):
         if self.k2k_pose is None:
             self.k2k_pose = np.zeros((0, self.pose_dim), np.float32)
+        if self.k2k_prior is None:
+            self.k2k_prior = np.zeros((0, self.pose_dim), np.float32)
         if self.lm_state is None:
             self.lm_state = np.zeros((0, self.lm_dim), np.float32)
         if self.obs_z is None:
@@ -88,14 +100,19 @@ class ProblemState:
         self.kf_obs.append([])
         return kf
 
-    def add_edge(self, from_kf: int, to_kf: int, pose: np.ndarray) -> int:
+    def add_edge(self, from_kf: int, to_kf: int, pose: np.ndarray,
+                 prior_w: float = 0.0) -> int:
         e = self.num_edges
         self.k2k_from = _grow(self.k2k_from, e + 1)
         self.k2k_to = _grow(self.k2k_to, e + 1)
         self.k2k_pose = _grow(self.k2k_pose, e + 1)
+        self.k2k_prior = _grow(self.k2k_prior, e + 1)
+        self.k2k_prior_w = _grow(self.k2k_prior_w, e + 1)
         self.k2k_from[e] = from_kf
         self.k2k_to[e] = to_kf
         self.k2k_pose[e] = pose
+        self.k2k_prior[e] = pose      # creation value IS the measurement
+        self.k2k_prior_w[e] = prior_w
         self.num_edges += 1
         return e
 

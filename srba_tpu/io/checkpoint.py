@@ -15,7 +15,7 @@ from dataclasses import asdict
 import numpy as np
 
 
-CHECKPOINT_VERSION = 2
+CHECKPOINT_VERSION = 3   # v3 adds edge measurement priors (k2k_prior/_w)
 
 
 def _encode_calib(calib):
@@ -121,6 +121,8 @@ def save_checkpoint(engine, path: str) -> None:
         k2k_from=st.k2k_from[: st.num_edges],
         k2k_to=st.k2k_to[: st.num_edges],
         k2k_pose=st.k2k_pose[: st.num_edges],
+        k2k_prior=st.k2k_prior[: st.num_edges],
+        k2k_prior_w=st.k2k_prior_w[: st.num_edges],
         lm_base=st.lm_base[: st.num_lms],
         lm_state=st.lm_state[: st.num_lms],
         lm_fixed=st.lm_fixed[: st.num_lms],
@@ -140,8 +142,9 @@ def load_checkpoint(path: str, calib=None, noise=None, sensor_pose=None,
 
     data = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(data["meta"]).decode())
-    assert meta["version"] == CHECKPOINT_VERSION, (
+    assert meta["version"] in (2, CHECKPOINT_VERSION), (
         f"unsupported checkpoint version {meta['version']}")
+    has_priors = meta["version"] >= 3
 
     if calib is None:
         calib = _decode_calib(meta["calib"])
@@ -164,7 +167,11 @@ def load_checkpoint(path: str, calib=None, noise=None, sensor_pose=None,
         eng.graph.add_keyframe()
     for e in range(c["num_edges"]):
         a, b = int(data["k2k_from"][e]), int(data["k2k_to"][e])
-        st.add_edge(a, b, data["k2k_pose"][e])
+        st.add_edge(a, b, data["k2k_pose"][e],
+                    prior_w=(float(data["k2k_prior_w"][e])
+                             if has_priors else 0.0))
+        if has_priors:
+            st.k2k_prior[e] = data["k2k_prior"][e]
         eng.graph.add_edge(a, b)
     for l in range(c["num_lms"]):
         st.add_landmark(int(data["lm_base"][l]), data["lm_state"][l],
@@ -190,7 +197,8 @@ def load_checkpoint(path: str, calib=None, noise=None, sensor_pose=None,
         # The loop above wrote the host tables directly; replace the device
         # masters wholesale (one upload).
         eng.device_master.upload_from_host(
-            st.k2k_pose, st.lm_state, st.num_edges, st.num_lms)
+            st.k2k_pose, st.lm_state, st.num_edges, st.num_lms,
+            k2k_prior=st.k2k_prior, k2k_prior_w=st.k2k_prior_w)
     # Rebuild the dead-reckoned trajectory from the (optimized) loaded poses.
     if c["num_kfs"]:
         G, dist = eng.create_complete_spanning_tree(0)

@@ -43,11 +43,48 @@ def save_graph_as_dot(engine, path: str,
         f.write("\n".join(lines) + "\n")
 
 
-def get_global_graphslam_problem(engine) -> Dict:
+def edge_observation_support(engine) -> np.ndarray:
+    """Per-edge observation support [num_edges]: how many observations'
+    bounded spanning-tree paths (observer KF -> landmark base KF) traverse
+    each kf2kf edge.
+
+    This is the scalar information proxy for the reference's per-edge
+    information matrices (``impl/get_global_graphslam_problem.h`` exports
+    edges with covariances from the local solver; public MRPT/srba layout):
+    an edge crossed by many observation paths is strongly constrained by the
+    local bundle adjustments, one supported only by its seed (odometry /
+    closure bootstrap) is not, and the global PGO should weight them
+    accordingly.  Floor 1.0 so seed-only edges keep their constraint."""
+    from collections import Counter
+
+    st = engine.state
+    g = engine.graph
+    depth = engine.parameters.max_tree_depth
+    support = np.zeros(st.num_edges, np.float64)
+    for kf in range(st.num_kfs):
+        obs = st.kf_obs[kf]
+        if not obs:
+            continue
+        dist, parent = g.bfs_tree(kf, depth)
+        base_counts = Counter(int(st.lm_base[int(st.obs_lm[o])])
+                              for o in obs)
+        for base, c in base_counts.items():
+            n = base
+            if n not in dist:
+                continue
+            while n != kf:
+                p, eid = parent[n]
+                support[eid] += c
+                n = p
+    return np.maximum(support, 1.0).astype(np.float32)
+
+
+def get_global_graphslam_problem(engine, with_weights: bool = True) -> Dict:
     """Convert the relative problem into an absolute-coordinate pose graph
     (reference ``get_global_graphslam_problem``): nodes = KFs with global
     poses composed from the complete spanning tree, edges = all k2k edges as
-    relative-pose constraints."""
+    relative-pose constraints, ``edge_weights`` = per-edge observation
+    support (see :func:`edge_observation_support`)."""
     G, dist = engine.create_complete_spanning_tree(0)
     st = engine.state
     edges = []
@@ -56,40 +93,47 @@ def get_global_graphslam_problem(engine) -> Dict:
         # Constraint: pose of b in a's frame = stored edge pose T_a<-b.
         edges.append({"from": a, "to": b,
                       "rel_pose": np.asarray(st.k2k_pose[e])})
-    return {
+    out = {
         "group": engine.group.name,
         "nodes": np.asarray(G),
         "reachable": sorted(dist.keys()),
         "edges": edges,
     }
+    if with_weights:
+        out["edge_weights"] = edge_observation_support(engine)
+    return out
 
 
 def save_graphslam_g2o(engine, path: str) -> None:
     """Write the global pose-graph in g2o text format."""
     prob = get_global_graphslam_problem(engine)
+    w = prob["edge_weights"]
     lines = []
     if prob["group"] == "SE2":
-        info = "1 0 0 1 0 1"  # upper-triangular identity information
+        def info(we):   # upper-triangular diag(we) information
+            return f"{we:.3f} 0 0 {we:.3f} 0 {we:.3f}"
         for i, p in enumerate(prob["nodes"]):
             lines.append(f"VERTEX_SE2 {i} {p[0]:.9f} {p[1]:.9f} {p[2]:.9f}")
-        for e in prob["edges"]:
+        for ei, e in enumerate(prob["edges"]):
             r = e["rel_pose"]
             lines.append(
                 f"EDGE_SE2 {e['from']} {e['to']} "
-                f"{r[0]:.9f} {r[1]:.9f} {r[2]:.9f} {info}")
+                f"{r[0]:.9f} {r[1]:.9f} {r[2]:.9f} {info(w[ei])}")
     else:
-        info = " ".join(str(v) for v in np.eye(6)[np.triu_indices(6)])
+        def info(we):
+            m = np.eye(6) * float(we)
+            return " ".join(f"{v:.3f}" for v in m[np.triu_indices(6)])
         for i, p in enumerate(prob["nodes"]):
             # g2o order: x y z qx qy qz qw  (ours is w-first)
             lines.append(
                 f"VERTEX_SE3:QUAT {i} {p[0]:.9f} {p[1]:.9f} {p[2]:.9f} "
                 f"{p[4]:.9f} {p[5]:.9f} {p[6]:.9f} {p[3]:.9f}")
-        for e in prob["edges"]:
+        for ei, e in enumerate(prob["edges"]):
             r = e["rel_pose"]
             lines.append(
                 f"EDGE_SE3:QUAT {e['from']} {e['to']} "
                 f"{r[0]:.9f} {r[1]:.9f} {r[2]:.9f} "
-                f"{r[4]:.9f} {r[5]:.9f} {r[6]:.9f} {r[3]:.9f} {info}")
+                f"{r[4]:.9f} {r[5]:.9f} {r[6]:.9f} {r[3]:.9f} {info(w[ei])}")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
 

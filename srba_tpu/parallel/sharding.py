@@ -50,6 +50,8 @@ def _batch_specs(batch: WindowBatch):
         path_edge=sharded, path_sign=sharded, obs_valid=sharded,
         whitener=repl, sensor_pose_inv=repl,
         calib=calib_spec,
+        edge_prior=None if batch.edge_prior is None else repl,
+        edge_prior_w=None if batch.edge_prior_w is None else repl,
     )
 
 

@@ -52,6 +52,19 @@ class PGOConfig:
     lam_max: float = 1e8
     rel_tol: float = 1e-8
     cg_rtol: float = 1e-6
+    # Robust edge loss: pseudo-Huber with this tangent-norm scale (None =
+    # quadratic).  Implemented as IRLS: each LM outer iteration re-weights
+    # every edge by rho'(s) of its CURRENT whitened squared norm, so biased
+    # outlier edges (bad closures) lose influence instead of dragging the
+    # whole graph (the reference exports to MRPT graph-slam LM, which has
+    # the same robust-kernel option).
+    robust_delta: Optional[float] = None
+    # Per-component tangent weighting: rotation residuals (radians) vs
+    # translation (meters).  A rotation error theta displaces every pose
+    # downstream by ~r*theta, so information-weighting rotations by the map
+    # scale is the g2o-standard practice (EDGE_SE3 info matrices put more
+    # weight on the rotation block).
+    rot_weight: float = 1.0
     # Chordal initialization (rotation averaging + linear translation solve,
     # solver/chordal.py) before LM-PCG: widens the convergence basin to
     # arbitrary orientation drift (multiple revolutions of accumulated yaw).
@@ -85,9 +98,43 @@ def _make_pgo(cfg: PGOConfig):
         return (jax.lax.psum(x, cfg.axis_name)
                 if cfg.axis_name is not None else x)
 
-    def linearize(G, ea, eb, z, w):
+    # Tangent layout is [translation, rotation] (ops/lie.py plog): SE2 dof 3
+    # = 2+1, SE3 dof 6 = 3+3.
+    t_dim = 2 if dof == 3 else 3
+
+    def _comp(dtype):
+        """Per-component information weights (translation 1, rotation
+        cfg.rot_weight)."""
+        return jnp.concatenate([
+            jnp.ones((t_dim,), dtype),
+            jnp.full((dof - t_dim,), cfg.rot_weight, dtype)])
+
+    def _edge_sq(G, ea, eb, z, w):
+        """Per-edge whitened squared tangent norm s_e [E]."""
+        zeros = jnp.zeros((ea.shape[0], dof), G.dtype)
+        r = jax.vmap(res_fn)(G[ea], G[eb], z, zeros, zeros)
+        return jnp.sum(r * r * _comp(G.dtype)[None, :], axis=-1) * w
+
+    def _robust_cost(s):
+        """Pseudo-Huber rho(s) on the squared norm (quadratic near zero,
+        linear-in-|r| far out); identity when no robust delta configured."""
+        if cfg.robust_delta is None:
+            return s
+        d2 = cfg.robust_delta * cfg.robust_delta
+        return 2.0 * d2 * (jnp.sqrt(1.0 + s / d2) - 1.0)
+
+    def _robust_weight(s):
+        """IRLS weight rho'(s) (Triggs et al.): down-weights edges whose
+        current residual is far outside the quadratic basin."""
+        if cfg.robust_delta is None:
+            return jnp.ones_like(s)
+        d2 = cfg.robust_delta * cfg.robust_delta
+        return 1.0 / jnp.sqrt(1.0 + s / d2)
+
+    def linearize(G, ea, eb, z, w, rw):
         """Residuals r [E,dof] and Jacobian blocks A,B [E,dof,dof] wrt the
-        tangents of the two incident nodes, weighted."""
+        tangents of the two incident nodes, weighted (static info weight w,
+        per-component weights, robust IRLS weight rw)."""
         zeros = jnp.zeros((ea.shape[0], dof), G.dtype)
 
         def per_edge(Ga, Gb, zi, e0a, e0b):
@@ -97,7 +144,7 @@ def _make_pgo(cfg: PGOConfig):
         r = jax.vmap(per_edge)(Ga, Gb, z, zeros, zeros)
         A = jax.vmap(jax.jacfwd(per_edge, argnums=3))(Ga, Gb, z, zeros, zeros)
         B = jax.vmap(jax.jacfwd(per_edge, argnums=4))(Ga, Gb, z, zeros, zeros)
-        sw = jnp.sqrt(w)[:, None]
+        sw = jnp.sqrt(w * rw)[:, None] * jnp.sqrt(_comp(G.dtype))[None, :]
         return r * sw, A * sw[..., None], B * sw[..., None]
 
     def build_ops(K, ea, eb, A, B, gauge_mask):
@@ -134,9 +181,7 @@ def _make_pgo(cfg: PGOConfig):
         gauge_mask = jnp.ones((K,), G0.dtype).at[0].set(0.0)
 
         def err_of(G):
-            zeros = jnp.zeros((ea.shape[0], dof), G.dtype)
-            r = jax.vmap(res_fn)(G[ea], G[eb], z, zeros, zeros)
-            return _psum(jnp.sum(jnp.sum(r * r, axis=-1) * w))
+            return _psum(jnp.sum(_robust_cost(_edge_sq(G, ea, eb, z, w))))
 
         def cg(Hv, Minv_mul, b):
             """Preconditioned CG for H x = b (fixed iteration cap with
@@ -171,7 +216,8 @@ def _make_pgo(cfg: PGOConfig):
 
         def lm_body(s):
             G, lam, err, it, done, cg_total = s
-            r, A, B = linearize(G, ea, eb, z, w)
+            rw = _robust_weight(_edge_sq(G, ea, eb, z, w))
+            r, A, B = linearize(G, ea, eb, z, w, rw)
             JT, Hv, block_diag = build_ops(K, ea, eb, A, B, gauge_mask)
             g = JT(r)                               # [K, dof]
             D = block_diag()                        # [K, dof, dof]
@@ -225,10 +271,13 @@ def _make_pgo(cfg: PGOConfig):
         init = (G0, jnp.asarray(cfg.lam0, G0.dtype), err0,
                 jnp.asarray(0, jnp.int32), jnp.asarray(False),
                 jnp.asarray(0, jnp.int32))
-        G, lam, err, it, _, cg_total = jax.lax.while_loop(
+        G, lam, err, it, done, cg_total = jax.lax.while_loop(
             lm_cond, lm_body, init)
+        # done=True means LM reached its relative-improvement fixed point;
+        # otherwise the iteration budget ran out (caller should escalate).
         info = {"err_init": err0, "err_final": err, "iters": it,
-                "lam": lam, "cg_iters_total": cg_total}
+                "lam": lam, "cg_iters_total": cg_total,
+                "converged": done.astype(jnp.int32)}
         return G, info
 
     return solve
@@ -261,7 +310,7 @@ def make_pgo_spmd(cfg: PGOConfig, mesh):
     solve = _make_pgo(cfg)
     repl = P()
     info_specs = {k: repl for k in ("err_init", "err_final", "iters", "lam",
-                                    "cg_iters_total")}
+                                    "cg_iters_total", "converged")}
     fn = jax.jit(jax.shard_map(
         solve, mesh=mesh,
         in_specs=(repl, P(axis), P(axis), P(axis), P(axis)),
@@ -274,14 +323,23 @@ def make_pgo_spmd(cfg: PGOConfig, mesh):
 def optimize_global_pose_graph(problem: dict,
                                cfg: PGOConfig | None = None,
                                weights: np.ndarray | None = None,
-                               mesh=None):
+                               mesh=None, max_escalations: int = 1):
     """Optimize an exported global pose-graph problem (the dict produced by
     :func:`srba_tpu.io.export.get_global_graphslam_problem`).
 
     Returns ``(nodes_opt [K, pose_dim] numpy, info dict)``.  Node 0 is the
     gauge (held fixed).  Unreachable nodes keep their input values.  With
     ``mesh``, the edge tables are sharded over its (single) axis.
+
+    ``weights`` [E]: per-edge information (defaults to the problem's own
+    ``edge_weights`` when the exporter provided them, else 1.0).  When LM
+    exits at the iteration cap unconverged, the solve is re-entered from the
+    current iterate up to ``max_escalations`` times (same compiled program —
+    the warm restart costs no new compile) and a loud warning is printed if
+    it STILL has not converged.
     """
+    import sys
+
     group_name = problem["group"]
     if cfg is None:
         cfg = PGOConfig(group=group_name)
@@ -290,10 +348,13 @@ def optimize_global_pose_graph(problem: dict,
     edges = problem["edges"]
     E = len(edges)
     if E == 0:
-        return nodes, {"err_init": 0.0, "err_final": 0.0, "iters": 0}
+        return nodes, {"err_init": 0.0, "err_final": 0.0, "iters": 0,
+                       "converged": 1}
     ea = np.asarray([e["from"] for e in edges], np.int32)
     eb = np.asarray([e["to"] for e in edges], np.int32)
     z = np.stack([np.asarray(e["rel_pose"], np.float32) for e in edges])
+    if weights is None:
+        weights = problem.get("edge_weights")
     w = (np.ones(E, np.float32) if weights is None
          else np.asarray(weights, np.float32))
 
@@ -309,7 +370,29 @@ def optimize_global_pose_graph(problem: dict,
         solve = make_pgo_spmd(cfg, mesh)
     else:
         solve = _make_pgo_jit(cfg)
-    G, info = solve(jnp.asarray(nodes), jnp.asarray(ea), jnp.asarray(eb),
-                    jnp.asarray(z), jnp.asarray(w))
-    G, info = jax.device_get((G, info))
-    return np.asarray(G), {k: float(v) for k, v in info.items()}
+    ea_d, eb_d, z_d, w_d = (jnp.asarray(ea), jnp.asarray(eb),
+                            jnp.asarray(z), jnp.asarray(w))
+    G, info = solve(jnp.asarray(nodes), ea_d, eb_d, z_d, w_d)
+    info = jax.device_get(info)
+    err0, iters = float(info["err_init"]), float(info["iters"])
+    # Unconverged at the iteration cap: warm-restart from the current
+    # iterate with chordal init off (it would reset the iterate).  Same
+    # compiled program after the first escalation anywhere in the process.
+    esc = 0
+    while not bool(info["converged"]) and esc < max_escalations:
+        esc += 1
+        esc_cfg = dataclasses.replace(cfg, chordal_init=False)
+        esc_solve = (make_pgo_spmd(esc_cfg, mesh) if mesh is not None
+                     else _make_pgo_jit(esc_cfg))
+        G, info = esc_solve(G, ea_d, eb_d, z_d, w_d)
+        info = jax.device_get(info)
+        iters += float(info["iters"])
+    if not bool(info["converged"]):
+        print(f"[srba] WARNING: global PGO unconverged after {iters:.0f} LM "
+              f"iterations ({esc} escalations); err "
+              f"{err0:.3e}->{float(info['err_final']):.3e}",
+              file=sys.stderr, flush=True)
+    G = jax.device_get(G)
+    out = {k: float(v) for k, v in info.items()}
+    out.update(err_init=err0, iters=iters, escalations=float(esc))
+    return np.asarray(G), out

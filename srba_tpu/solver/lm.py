@@ -65,6 +65,12 @@ class WindowBatch:
     whitener: jnp.ndarray    # [od, od] Lambda^{1/2} noise whitening
     sensor_pose_inv: jnp.ndarray  # [pose_dim] inverse sensor mounting pose
     calib: Any = None        # observation-model calibration pytree (or None)
+    # Optional per-edge measurement priors (creation-time odometry / closure
+    # bootstrap): residual sqrt(w) * plog(inv(prior) o edge) per opt edge.
+    # None = no prior factors (structure-static: a batch either has them or
+    # not, each choice is its own jit specialization).
+    edge_prior: Any = None       # [E, pose_dim] or None
+    edge_prior_w: Any = None     # [E] information weight (0 = no prior)
 
 
 @dataclass(frozen=True)
@@ -183,6 +189,14 @@ def make_solver_impl(cfg: SolverConfig):
         return (jax.lax.psum(x, cfg.axis_name)
                 if cfg.axis_name is not None else x)
 
+    def _prior_residuals(edge_pose, b: WindowBatch):
+        """Per-edge prior residuals plog(inv(prior) o edge) [E, pdof] and
+        their effective weights [E] (prior weight x opt mask)."""
+        r = jax.vmap(lambda pr, e: group.plog(
+            group.compose(group.inverse(pr), e)))(b.edge_prior, edge_pose)
+        w = b.edge_prior_w * b.edge_opt
+        return jnp.where(w[:, None] > 0, r, 0.0), w
+
     def _error(edge_pose, lm_state, b: WindowBatch):
         r = _residuals(edge_pose, lm_state, b)
         # where, not multiply: a NaN residual on a masked (padded) row must
@@ -190,9 +204,17 @@ def make_solver_impl(cfg: SolverConfig):
         r = jnp.where(b.obs_valid[:, None] > 0, r, 0.0)
         sq = jnp.sum(r * r, axis=-1) * b.obs_valid
         if cfg.use_robust_kernel:
-            return _psum(jnp.sum(pseudo_huber_cost(sq, cfg.kernel_param)
-                                 * b.obs_valid))
-        return _psum(jnp.sum(sq))
+            err = _psum(jnp.sum(pseudo_huber_cost(sq, cfg.kernel_param)
+                                * b.obs_valid))
+        else:
+            err = _psum(jnp.sum(sq))
+        if b.edge_prior is not None:
+            # Edge tables are replicated across the obs-sharded mesh, so the
+            # prior cost is identical on every device — added AFTER the psum
+            # (never robust-kerneled: priors are trusted measurements).
+            rp, wp = _prior_residuals(edge_pose, b)
+            err = err + jnp.sum(jnp.sum(rp * rp, axis=-1) * wp)
+        return err
 
     def _build_normal_eqs(edge_pose, lm_state, b: WindowBatch):
         N, od = b.obs_z.shape[0], b.whitener.shape[0]
@@ -245,7 +267,31 @@ def make_solver_impl(cfg: SolverConfig):
         Hpf = seg(jnp.einsum("nop,noi->npi", Jp.reshape(N, od, P), Jl))
         # Distributed Schur reduction: sum partial normal equations over the
         # observation-sharded mesh axis (ICI collectives; SURVEY.md §3.1).
-        return _psum(Hp), _psum(gp), _psum(Hf), _psum(gf), _psum(Hpf)
+        Hp, gp, Hf, gf, Hpf = (_psum(Hp), _psum(gp), _psum(Hf), _psum(gf),
+                               _psum(Hpf))
+
+        if b.edge_prior is not None:
+            # Edge measurement priors: block-diagonal H += w JtJ, g += w Jtr
+            # per opt edge (replicated across the mesh: added post-psum).
+            zeros_e = jnp.zeros((E, pdof), edge_pose.dtype)
+
+            def per_prior(eps_e, prior, pose):
+                return group.plog(group.compose(
+                    group.inverse(prior), group.retract(pose, eps_e)))
+
+            rp = jax.vmap(per_prior)(zeros_e, b.edge_prior, edge_pose)
+            Jpr = jax.vmap(jax.jacfwd(per_prior))(
+                zeros_e, b.edge_prior, edge_pose)        # [E, pdof, pdof]
+            wp = b.edge_prior_w * b.edge_opt
+            rp = jnp.where(wp[:, None] > 0, rp, 0.0)
+            Jpr = jnp.where(wp[:, None, None] > 0, Jpr, 0.0)
+            Hblk = wp[:, None, None] * jnp.einsum("eij,eik->ejk", Jpr, Jpr)
+            gblk = wp[:, None] * jnp.einsum("eij,ei->ej", Jpr, rp)
+            idx = jnp.arange(E)
+            Hp = Hp.reshape(E, pdof, E, pdof).at[idx, :, idx, :].add(
+                Hblk).reshape(P, P)
+            gp = gp + gblk.reshape(P)
+        return Hp, gp, Hf, gf, Hpf
 
     def _solve_delta(Hp, gp, Hf, gf, Hpf, lam, b: WindowBatch):
         E, L = b.edge_pose.shape[0], b.lm_state.shape[0]

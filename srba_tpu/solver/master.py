@@ -71,28 +71,30 @@ def make_master_step(cfg: SolverConfig):
     shares the compiled executables (whitener / sensor pose / calibration
     are device-resident runtime operands, not baked constants).
 
-    ``wire`` (f32) packs ``pad_e`` new edge poses, then ``pad_l`` new
-    landmark states (garbage rows beyond the real counts land in
-    not-yet-allocated master slots and are overwritten by the next append),
-    then the flattened ``[N, z_dim]`` window observations, then the BITCAST
-    int32 structure: append offsets + the :func:`pack_window_ints` buffer.
+    ``wire`` (f32) packs ``pad_e`` new edge poses, then ``pad_e`` new edge
+    prior rows ([prior pose || weight]), then ``pad_l`` new landmark states
+    (garbage rows beyond the real counts land in not-yet-allocated master
+    slots and are overwritten by the next append), then the flattened
+    ``[N, z_dim]`` window observations, then the BITCAST int32 structure:
+    append offsets + the :func:`pack_window_ints` buffer.
     """
     solve_impl, _ = make_solver_impl(cfg)
     D = cfg.max_depth
 
-    @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11),
-                       donate_argnums=(0, 1))
-    def step(pose_master, lm_master, wire,
+    @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12),
+                       donate_argnums=(0, 1, 2))
+    def step(pose_master, prior_master, lm_master, wire,
              whitener, sensor_pose_inv, calib,
              E, L, N, pad_e, pad_l, z_dim):
         pose_dim = pose_master.shape[1]
         lm_dim = lm_master.shape[1]
+        pd1 = pose_dim + 1
         # ONE upload buffer per keyframe (each device_put costs ~0.3 ms of
         # host time over the tunnel): ``wire`` is f32 and packs the new
         # rows, the window obs values, then the BITCAST int32 window
         # structure (append offsets + pack_window_ints) — exact bit
         # round-trip, recovered here with bitcast_convert_type.
-        rows_len = pad_e * pose_dim + pad_l * lm_dim
+        rows_len = pad_e * (pose_dim + pd1) + pad_l * lm_dim
         new_rows = wire[:rows_len]
         obs_z = wire[rows_len: rows_len + N * z_dim].reshape(N, z_dim)
         ints_all = jax.lax.bitcast_convert_type(
@@ -105,8 +107,14 @@ def make_master_step(cfg: SolverConfig):
             new_edges = new_rows[: pad_e * pose_dim].reshape(pad_e, pose_dim)
             pose_master = jax.lax.dynamic_update_slice(
                 pose_master, new_edges, (offsets[0], 0))
+            new_priors = new_rows[
+                pad_e * pose_dim: pad_e * (pose_dim + pd1)
+            ].reshape(pad_e, pd1)
+            prior_master = jax.lax.dynamic_update_slice(
+                prior_master, new_priors, (offsets[0], 0))
         if pad_l:
-            new_lms = new_rows[pad_e * pose_dim:].reshape(pad_l, lm_dim)
+            new_lms = new_rows[pad_e * (pose_dim + pd1):].reshape(
+                pad_l, lm_dim)
             lm_master = jax.lax.dynamic_update_slice(
                 lm_master, new_lms, (offsets[1], 0))
 
@@ -130,6 +138,7 @@ def make_master_step(cfg: SolverConfig):
 
         # -- gather window state from the masters ---------------------------
         edge_pose = pose_master[edge_ids]
+        prior_rows = prior_master[edge_ids]
         lm_state = lm_master[lm_ids]
 
         batch = WindowBatch(
@@ -137,7 +146,9 @@ def make_master_step(cfg: SolverConfig):
             lm_state=lm_state, lm_opt=lm_opt,
             obs_z=obs_z, obs_lm=obs_lm,
             path_edge=path_edge, path_sign=path_sign, obs_valid=obs_valid,
-            whitener=whitener, sensor_pose_inv=sensor_pose_inv, calib=calib)
+            whitener=whitener, sensor_pose_inv=sensor_pose_inv, calib=calib,
+            edge_prior=prior_rows[:, :pose_dim],
+            edge_prior_w=prior_rows[:, pose_dim])
         new_edge, new_lm, info = solve_impl(batch)
 
         # -- scatter optimized values back (masked deltas: pad slots add 0) -
@@ -145,7 +156,7 @@ def make_master_step(cfg: SolverConfig):
         dl = (new_lm - lm_state) * lm_opt[:, None]
         pose_master = pose_master.at[edge_ids].add(dp)
         lm_master = lm_master.at[lm_ids].add(dl)
-        return pose_master, lm_master, info
+        return pose_master, prior_master, lm_master, info
 
     return step
 
@@ -156,17 +167,27 @@ def make_append_only(pose_dim: int, lm_dim: int):
     (``run_local_optimization=False`` / the very first keyframe).  Globally
     cached so engines sharing dims share executables."""
 
-    @functools.partial(jax.jit, static_argnums=(4, 5), donate_argnums=(0, 1))
-    def append(pose_master, lm_master, new_rows, offsets, pad_e, pad_l):
+    pd1 = pose_dim + 1
+
+    @functools.partial(jax.jit, static_argnums=(5, 6),
+                       donate_argnums=(0, 1, 2))
+    def append(pose_master, prior_master, lm_master, new_rows, offsets,
+               pad_e, pad_l):
         if pad_e:
             new_edges = new_rows[: pad_e * pose_dim].reshape(pad_e, pose_dim)
             pose_master = jax.lax.dynamic_update_slice(
                 pose_master, new_edges, (offsets[0], 0))
+            new_priors = new_rows[
+                pad_e * pose_dim: pad_e * (pose_dim + pd1)
+            ].reshape(pad_e, pd1)
+            prior_master = jax.lax.dynamic_update_slice(
+                prior_master, new_priors, (offsets[0], 0))
         if pad_l:
-            new_lms = new_rows[pad_e * pose_dim:].reshape(pad_l, lm_dim)
+            new_lms = new_rows[pad_e * (pose_dim + pd1):].reshape(
+                pad_l, lm_dim)
             lm_master = jax.lax.dynamic_update_slice(
                 lm_master, new_lms, (offsets[1], 0))
-        return pose_master, lm_master
+        return pose_master, prior_master, lm_master
 
     return append
 

@@ -43,7 +43,7 @@ def _make_solve_windows(cfg: SolverConfig):
     solve_impl, _ = make_solver_impl(cfg)
     D = cfg.max_depth
 
-    def solve_windows(pose_master, lm_master, ints, obs_z,
+    def solve_windows(pose_master, prior_master, lm_master, ints, obs_z,
                       whitener, sensor_pose_inv, calib, E, L, N):
         """[W] windows -> (edge_ids [W,E], dp, lm_ids [W,L], dl, info)."""
 
@@ -64,6 +64,8 @@ def _make_solve_windows(cfg: SolverConfig):
             obs_valid = take(N).astype(jnp.float32)
             path_edge = take(N * D).reshape(N, D)
             path_sign = take(N * D).reshape(N, D).astype(jnp.float32)
+            prior_rows = prior_master[edge_ids]
+            pose_dim = pose_master.shape[1]
             batch = WindowBatch(
                 edge_pose=pose_master[edge_ids], edge_opt=edge_opt,
                 lm_state=lm_master[lm_ids], lm_opt=lm_opt,
@@ -71,7 +73,9 @@ def _make_solve_windows(cfg: SolverConfig):
                 path_edge=path_edge, path_sign=path_sign,
                 obs_valid=obs_valid,
                 whitener=whitener, sensor_pose_inv=sensor_pose_inv,
-                calib=calib)
+                calib=calib,
+                edge_prior=prior_rows[:, :pose_dim],
+                edge_prior_w=prior_rows[:, pose_dim])
             new_edge, new_lm, info = solve_impl(batch)
             dp = (new_edge - batch.edge_pose) * edge_opt[:, None]
             dl = (new_lm - batch.lm_state) * lm_opt[:, None]
@@ -101,12 +105,12 @@ def make_sweep_step(cfg: SolverConfig):
 
     solve_windows = _make_solve_windows(cfg)
 
-    @functools.partial(jax.jit, static_argnums=(7, 8, 9),
-                       donate_argnums=(0, 1))
-    def step(pose_master, lm_master, ints, obs_z,
+    @functools.partial(jax.jit, static_argnums=(8, 9, 10),
+                       donate_argnums=(0, 2))
+    def step(pose_master, prior_master, lm_master, ints, obs_z,
              whitener, sensor_pose_inv, calib, E, L, N):
         edge_ids, dp, lm_ids, dl, info = solve_windows(
-            pose_master, lm_master, ints, obs_z,
+            pose_master, prior_master, lm_master, ints, obs_z,
             whitener, sensor_pose_inv, calib, E, L, N)
         # Ownership is disjoint across windows => flat scatter-add is
         # deterministic (pad/unowned slots contribute exact zeros).
@@ -131,10 +135,10 @@ def make_sweep_step_mesh(cfg: SolverConfig, mesh):
     (axis,) = mesh.axis_names
 
     def build(E, L, N):
-        def shard_fn(pose_master, lm_master, ints, obs_z,
+        def shard_fn(pose_master, prior_master, lm_master, ints, obs_z,
                      whitener, sensor_pose_inv, calib):
             edge_ids, dp, lm_ids, dl, info = solve_windows(
-                pose_master, lm_master, ints, obs_z,
+                pose_master, prior_master, lm_master, ints, obs_z,
                 whitener, sensor_pose_inv, calib, E, L, N)
             dpose = jnp.zeros_like(pose_master).at[
                 edge_ids.reshape(-1)].add(
@@ -156,18 +160,18 @@ def make_sweep_step_mesh(cfg: SolverConfig, mesh):
                       ("err_init", "err_final", "iters", "lam", "num_obs")}
         return jax.jit(jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(repl, repl, P(axis), P(axis), repl, repl, repl),
+            in_specs=(repl, repl, repl, P(axis), P(axis), repl, repl, repl),
             out_specs=(repl, repl, info_specs),
             check_vma=False))
 
     cache = {}
 
-    def step(pose_master, lm_master, ints, obs_z,
+    def step(pose_master, prior_master, lm_master, ints, obs_z,
              whitener, sensor_pose_inv, calib, E, L, N):
         key = (E, L, N)
         if key not in cache:
             cache[key] = build(E, L, N)
-        return cache[key](pose_master, lm_master, ints, obs_z,
+        return cache[key](pose_master, prior_master, lm_master, ints, obs_z,
                           whitener, sensor_pose_inv, calib)
 
     return step

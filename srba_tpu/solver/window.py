@@ -80,6 +80,10 @@ class WindowArrays:
     obs_valid: np.ndarray
     edge_gids: np.ndarray = None
     lm_gids: np.ndarray = None
+    # Per-edge measurement priors (only filled when gather_floats=True; the
+    # device-master path gathers them from its device prior table instead).
+    edge_prior: np.ndarray = None
+    edge_prior_w: np.ndarray = None
 
 
 def build_window(
@@ -173,6 +177,8 @@ def build_window(
     lm_gids = np.zeros(L, np.int32)
     lm_gids[:L_real] = lm_arr_ids
 
+    edge_prior = None
+    edge_prior_w = None
     if gather_floats:
         edge_pose[:E_real] = state.k2k_pose[inv_ids]
         # Pad slots hold identity-ish poses; for quaternion groups a zero
@@ -185,6 +191,12 @@ def build_window(
             # Valid-valued padding: all-zero rows are degenerate for pose
             # landmarks (zero quaternion -> NaN through normalize/compose).
             lm_state[L_real:] = lm_state[0]
+        edge_prior = np.zeros((E, pose_dim), np.float32)
+        edge_prior_w = np.zeros(E, np.float32)
+        edge_prior[:E_real] = state.k2k_prior[inv_ids]
+        if E_real < E:
+            edge_prior[E_real:] = edge_prior[0]
+        edge_prior_w[:E_real] = state.k2k_prior_w[inv_ids]
 
     for i, (o, steps) in enumerate(rows):
         obs_z[i] = state.obs_z[o]
@@ -198,7 +210,8 @@ def build_window(
 
     arrays = WindowArrays(edge_pose, edge_opt, lm_state, lm_opt, obs_z,
                           obs_lm, path_edge, path_sign, obs_valid,
-                          edge_gids=edge_gids, lm_gids=lm_gids)
+                          edge_gids=edge_gids, lm_gids=lm_gids,
+                          edge_prior=edge_prior, edge_prior_w=edge_prior_w)
     plan = WindowPlan(
         edge_ids=inv_ids,
         edge_opt=edge_opt[:E_real].astype(bool),

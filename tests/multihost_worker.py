@@ -38,8 +38,9 @@ def main() -> int:
                                              observe)
         world = make_world_loop_2d(num_kfs=12, radius=6.0, num_landmarks=40,
                                    seed=5)
+        from srba_tpu.models.noise import NoiseIdentity
         eng = mh.MultiHostEngine(
-            "RangeBearing2D",
+            "RangeBearing2D", noise=NoiseIdentity(0.005),
             params=SrbaParams(max_tree_depth=3, max_optimize_depth=3))
         if mh.is_coordinator():
             ds = observe(world, "RangeBearing2D", noise_std=0.005,

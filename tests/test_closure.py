@@ -63,7 +63,7 @@ class TestPrimitives:
                       120 + 200 * s[:, 1] / s[:, 2]], -1)
         seed = g.retract(T_true,
                          np.asarray([3.0, -2.0, 0.5, 0.1, -0.1, 0.7]))
-        T_fit, rms = _mono_pnp(eng, P, Z, seed)
+        T_fit, rms, _ = _mono_pnp(eng, P, Z, seed)
         assert rms < 1.0, rms
         np.testing.assert_allclose(g.apply(T_fit, P), q, atol=0.05)
 
@@ -75,7 +75,7 @@ class TestPrimitives:
         P = np.stack([rng.uniform(-4, 4, 10), rng.uniform(-4, 4, 10),
                       rng.uniform(-0.5, 2.0, 10)], -1)
         Z = rng.uniform(0, 300, (10, 2))   # uncorrelated pixels
-        _, rms = _mono_pnp(eng, P, Z, NpSE3.identity())
+        _, rms, _ = _mono_pnp(eng, P, Z, NpSE3.identity())
         assert rms > eng.parameters.closure_gate_px
 
 

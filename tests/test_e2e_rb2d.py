@@ -6,13 +6,17 @@ import numpy as np
 import pytest
 
 from srba_tpu import Observation, SrbaEngine, SrbaParams
+from srba_tpu.models.noise import NoiseIdentity
 from srba_tpu.ops.np_lie import NpSE2
 from srba_tpu.utils.datasets import (ate_rmse, make_world_loop_2d, observe)
 
 
 def _run(world, ds, params=None):
+    # Whiten by the true observation noise: with edge priors in the window
+    # cost, the RELATIVE information of observations vs odometry matters,
+    # so the noise model must be calibrated (representative usage).
     eng = SrbaEngine(
-        "RangeBearing2D",
+        "RangeBearing2D", noise=NoiseIdentity(0.005),
         params=params or SrbaParams(max_tree_depth=3, max_optimize_depth=3))
     for k, frame in enumerate(ds.frames):
         obs = [Observation(lm_id=m, z=z) for m, z in frame]

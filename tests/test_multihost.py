@@ -85,7 +85,9 @@ def test_two_process_engine_matches_single_process(tmp_path):
                                seed=5)
     ds = observe(world, "RangeBearing2D", noise_std=0.005, sensor_range=5.0,
                  odo_noise_std=0.01, seed=5)
+    from srba_tpu.models.noise import NoiseIdentity
     eng = SrbaEngine("RangeBearing2D", device_master=False,
+                     noise=NoiseIdentity(0.005),
                      params=SrbaParams(max_tree_depth=3,
                                        max_optimize_depth=3))
     for k, frame in enumerate(ds.frames):

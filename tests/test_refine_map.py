@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from srba_tpu import Observation, SrbaEngine, SrbaParams
+from srba_tpu.models.noise import NoiseIdentity
 from srba_tpu.utils.datasets import make_world_loop_2d, observe
 
 
@@ -13,8 +14,10 @@ def _build_engine(num_kfs=30, seed=6, run_local=True):
                                num_landmarks=70, seed=seed)
     ds = observe(world, "RangeBearing2D", noise_std=0.004, sensor_range=6.0,
                  odo_noise_std=0.02, seed=seed)
+    # Calibrated whitening: see test_e2e_rb2d._run (edge priors make the
+    # observation/odometry information RATIO meaningful).
     eng = SrbaEngine(
-        "RangeBearing2D",
+        "RangeBearing2D", noise=NoiseIdentity(0.004),
         params=SrbaParams(max_tree_depth=4, max_optimize_depth=4))
     for k, frame in enumerate(ds.frames):
         obs = [Observation(lm_id=m, z=z) for m, z in frame]
