@@ -195,18 +195,24 @@ def _fit_sigma(rms: float, JtJ: np.ndarray, obs_sigma: float = 1.0) -> float:
 
 def bootstrap_closure_edge(engine, center: int,
                            voters: List[Tuple[int, np.ndarray]],
-                           seed: np.ndarray) -> Tuple[str, Optional[np.ndarray]]:
+                           seed: np.ndarray
+                           ) -> Tuple[str, Optional[np.ndarray], float]:
     """Estimate the closure edge ``T_new<-center`` from the re-observed
-    landmarks.  Returns ``(status, T)`` with status:
+    landmarks.  Returns ``(status, T, gate_ratio)`` with status:
 
     * ``"ok"``     — measurement-based estimate in ``T``;
     * ``"reject"`` — the fit failed its gate; DEFER this closure;
     * ``"n/a"``    — not applicable (too few usable correspondences /
       pose-landmark mode); caller falls back to estimate-based seeding.
+
+    ``gate_ratio`` is the fit's worst gate value over its threshold
+    (<= 1 means every gate passed): the engine's staleness policy
+    re-verifies NEAR-threshold fits (ratio <= ~2) against a fresh mirror
+    while rejecting far fits cheaply (engine.py closure branch).
     """
     model = engine.model
     if getattr(model, "is_pose_landmark", False):
-        return "n/a", None
+        return "n/a", None, np.inf
     P, Z = _voter_points_in_center(engine, center, voters)
     d = engine.lm_type.dim
     dof = engine.group.dof
@@ -214,7 +220,7 @@ def bootstrap_closure_edge(engine, center: int,
 
     if model.has_inverse_model:
         if P.shape[0] < (2 if d == 2 else 3):
-            return "n/a", None
+            return "n/a", None, np.inf
         # Measured points in the NEW keyframe's robot frame.
         pts_new = np.asarray(model.inverse(Z.astype(np.float32),
                                            engine._calib_np), np.float64)
@@ -223,7 +229,7 @@ def bootstrap_closure_edge(engine, center: int,
                 engine._sensor_pose.astype(np.float64), pts_new)
         # Collinearity guard: Kabsch needs spatial extent.
         if np.linalg.matrix_rank(P - P.mean(0), tol=1e-6) < min(d, 2):
-            return "n/a", None
+            return "n/a", None, np.inf
         R, t = _kabsch(P, pts_new)      # p_new ~= R p_center + t = T (+) p
         T = _se2_from_rt(R, t) if d == 2 else _se3_from_rt(R, t)
         # Kabsch is only the INITIAL BASIN: polish in observation space
@@ -234,20 +240,23 @@ def bootstrap_closure_edge(engine, center: int,
                                     Z.astype(np.float64))
         T, rms, JtJ = _gn_solve(engine.np_group, residual,
                                 np.asarray(T, np.float64), dof)
-        if max_sigma is not None \
-                and _fit_sigma(rms, JtJ) > max_sigma:
-            return "reject", None
-        return "ok", T.astype(np.float32)
+        ratio = (_fit_sigma(rms, JtJ) / max_sigma
+                 if max_sigma is not None else 0.0)
+        if ratio > 1.0:
+            return "reject", None, ratio
+        return "ok", T.astype(np.float32), ratio
 
     if model.name == "MonocularCamera":
         if P.shape[0] < 4:
-            return "n/a", None
+            return "n/a", None, np.inf
         T, rms, JtJ = _mono_pnp(engine, P, Z, seed)
-        if T is None or rms > engine.parameters.closure_gate_px:
-            return "reject", None
-        if max_sigma is not None \
-                and _fit_sigma(rms, JtJ) > max_sigma:
-            return "reject", None
-        return "ok", T.astype(np.float32)
+        if T is None:
+            return "reject", None, np.inf
+        ratio = rms / engine.parameters.closure_gate_px
+        if max_sigma is not None:
+            ratio = max(ratio, _fit_sigma(rms, JtJ) / max_sigma)
+        if ratio > 1.0:
+            return "reject", None, ratio
+        return "ok", T.astype(np.float32), ratio
 
-    return "n/a", None
+    return "n/a", None, np.inf

@@ -112,7 +112,15 @@ class DeviceMaster:
         self._pend_priors: List[np.ndarray] = []
         self._pend_lms: List[np.ndarray] = []
         self._append_fn = make_append_only(pose_dim, lm_dim)
-        self.dirty = False          # device ahead of host mirror
+        # Mirror freshness is tracked by SEQUENCE, not a boolean: step_seq
+        # counts device-state mutations (optimization steps); mirror_seq is
+        # the step the host mirror reflects.  Staleness-tolerant consumers
+        # (the loop-closure bootstrap) accept mirrors up to N steps old,
+        # which converts the ~25 ms blocking tunnel RTT per closure-voting
+        # keyframe into one overlapped async prefetch per N steps.
+        self.step_seq = 0
+        self.mirror_seq = 0
+        self._prefetch = None       # (pose_buf, lm_buf, n_e, n_l, seq)
         # Device-resident per-engine operands (uploaded once on first step).
         self._whitener_dev = None
         self._spinv_dev = None
@@ -208,7 +216,7 @@ class DeviceMaster:
             self.pose, self.prior, self.lm, jnp.asarray(wire),
             self._whitener_dev, self._spinv_dev, self._calib_dev,
             E, L, N, pad_e, pad_l, obs_z.shape[1])
-        self.dirty = True
+        self.step_seq += 1
         return LazyInfo(info)
 
     def fence(self) -> None:
@@ -220,23 +228,92 @@ class DeviceMaster:
 
     # -- host mirror -----------------------------------------------------------
 
-    def sync_to_host(self, k2k_pose: np.ndarray, lm_state: np.ndarray) -> None:
+    @property
+    def dirty(self) -> bool:
+        """Device ahead of the host mirror (seq-derived; settable for
+        compatibility: ``True`` bumps the step sequence — e.g. after a
+        refine-map sweep — and ``False`` marks the mirror current)."""
+        return self.mirror_seq < self.step_seq
+
+    @dirty.setter
+    def dirty(self, value: bool) -> None:
+        if value:
+            self.step_seq += 1
+        else:
+            self.mirror_seq = self.step_seq
+
+    def _live_buckets(self):
+        b_e = min(_bucket_pow2(max(self.num_edges, 1), self.PAD_E_MIN),
+                  self.pose.shape[0])
+        b_l = min(_bucket_pow2(max(self.num_lms, 1), self.PAD_L_MIN),
+                  self.lm.shape[0])
+        return b_e, b_l
+
+    def maybe_prefetch(self, max_age: int, force: bool = False) -> None:
+        """Start (if useful) an ASYNC device->host copy of the live master
+        slices so a later staleness-tolerant ``sync_to_host(max_age=...)``
+        consumes it without blocking on the tunnel RTT.  A prefetch taken at
+        step ``s`` stays consumable until ``step_seq == s + max_age``, so a
+        new one is issued once the in-flight copy has burned half that
+        budget — cadence ``max_age/2`` steps, which also gives each copy
+        ~that many frames to land before anyone needs it.  ``force`` issues
+        a fresh copy of the CURRENT step regardless of cadence (used right
+        after an accepted closure's refinement step, whose post-closure
+        state the next bootstrap must see)."""
+        if self.mirror_seq >= self.step_seq:
+            return
+        pf_seq = self._prefetch[4] if self._prefetch is not None \
+            else self.mirror_seq
+        if force:
+            if pf_seq >= self.step_seq:
+                return
+        elif self.step_seq - pf_seq < max(1, max_age // 2):
+            return
+        b_e, b_l = self._live_buckets()
+        pose, lm = self.pose[:b_e], self.lm[:b_l]
+        pose.copy_to_host_async()
+        lm.copy_to_host_async()
+        self._prefetch = (pose, lm, self.num_edges, self.num_lms,
+                          self.step_seq)
+
+    def sync_to_host(self, k2k_pose: np.ndarray, lm_state: np.ndarray,
+                     max_age: int = 0, min_seq: int = 0) -> None:
         """Refresh the host mirror in place (ONE round-trip).  Fetch only a
         power-of-two bucket of the LIVE rows: downloading the full padded
         masters (16k+64k rows) costs ~0.2 s over the tunnel; the live slice
-        is typically a few KB."""
-        if not self.dirty:
+        is typically a few KB.
+
+        ``max_age > 0`` tolerates a mirror up to that many optimization
+        steps behind the device (loop-closure bootstrap path: the voter
+        landmarks / center-area edges it reads were optimized a full map
+        revisit ago and move negligibly per step).  ``min_seq`` is a hard
+        freshness floor overriding the age budget — the engine sets it to
+        the step of the last ACCEPTED closure's refinement, after which the
+        map moves wholesale and pre-closure estimates are not equivalent.
+        A pending :meth:`maybe_prefetch` copy satisfying both bounds is
+        consumed instead of a blocking fetch."""
+        target = max(self.step_seq - max_age, min_seq)
+        if self.mirror_seq >= target:
             return
+        pf = self._prefetch
+        if pf is not None:
+            pose_b, lm_b, n_e, n_l, seq = pf
+            if seq > self.mirror_seq and seq >= target:
+                # copy_to_host_async already landed (or nearly): np.asarray
+                # blocks only for the remainder of the transfer.
+                k2k_pose[:n_e] = np.asarray(pose_b)[:n_e]
+                lm_state[:n_l] = np.asarray(lm_b)[:n_l]
+                self.mirror_seq = seq
+                self._prefetch = None
+                return
         import jax
         n_e, n_l = self.num_edges, self.num_lms
-        b_e = min(_bucket_pow2(max(n_e, 1), self.PAD_E_MIN),
-                  self.pose.shape[0])
-        b_l = min(_bucket_pow2(max(n_l, 1), self.PAD_L_MIN),
-                  self.lm.shape[0])
+        b_e, b_l = self._live_buckets()
         pose, lm = jax.device_get((self.pose[:b_e], self.lm[:b_l]))
         k2k_pose[:n_e] = pose[:n_e]
         lm_state[:n_l] = lm[:n_l]
-        self.dirty = False
+        self.mirror_seq = self.step_seq
+        self._prefetch = None
 
     def upload_from_host(self, k2k_pose: np.ndarray, lm_state: np.ndarray,
                          num_edges: int, num_lms: int,
@@ -268,4 +345,5 @@ class DeviceMaster:
         self.pose = jnp.asarray(pose)
         self.prior = jnp.asarray(prior)
         self.lm = jnp.asarray(lm)
+        self._prefetch = None      # refers to pre-upload device state
         self.dirty = False

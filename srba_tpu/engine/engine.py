@@ -73,6 +73,12 @@ class SrbaParams:
     # disables the priors.
     edge_prior_sigma: Optional[float] = 0.05
     closure_prior_sigma: float = 0.25
+    # Staleness budget (in optimization steps) for the host mirror consumed
+    # by the closure SEED cache (`_seed_globals`).  Seeds only pick the
+    # basin (the bootstrap refits from measurements), so a mirror a few
+    # steps old is equivalent — and tolerating age converts a blocking
+    # ~25 ms tunnel RTT into an overlapped async prefetch.
+    closure_mirror_max_age: int = 16
     # LM solver knobs
     max_iters: int = 20
     lam0: float = 1e-4
@@ -80,6 +86,13 @@ class SrbaParams:
     # Solver engine selector (reference: solver_LM_* options):
     # "schur_dense_cholesky" (default) or "no_schur_dense_cholesky".
     solver: str = "schur_dense_cholesky"
+    # Monocular front-end (engine/triangulate.py): new landmarks observed
+    # without an explicit init are held pending and materialized by
+    # two-view midpoint triangulation once a sighting with >= this much
+    # parallax exists (buffered observations are replayed).  The reference
+    # instead requires callers to supply every mono init.  None disables
+    # (restoring the reference's must-supply-init contract).
+    mono_min_parallax_deg: Optional[float] = 1.0
 
 
 @dataclass
@@ -202,6 +215,13 @@ class SrbaEngine:
         # consistently by dead-reckoned increments in between.
         self._seed_cache = None
         self._seed_cache_max_age = 25
+        # Frames left to keep async host-mirror prefetches in flight after
+        # the last closure-voting frame (see define_new_keyframe).
+        self._prefetch_countdown = 0
+        # Step seq of the last accepted closure's refinement: a stale
+        # mirror is never accepted from before this point.
+        self._closure_barrier_seq = 0
+        self._tri = None   # lazy MonoTriangulator (mono deferred inits)
 
         self._solver_cfg = SolverConfig(
             obs_model=self.model.name,
@@ -240,13 +260,18 @@ class SrbaEngine:
             self.native.add_landmark(base_kf, fixed)
         return l
 
-    def sync(self) -> None:
+    def sync(self, max_age: int = 0) -> None:
         """Refresh the host mirror of edge poses / landmark states from the
         device master (one tunnel round-trip; no-op when clean or when the
-        device-master path is disabled)."""
+        device-master path is disabled).  ``max_age`` accepts a mirror up to
+        that many optimization steps stale (see
+        :meth:`DeviceMaster.sync_to_host`); public callers get exactness.
+        Staleness never crosses an accepted closure's refinement step (the
+        barrier): post-closure the map moves wholesale."""
         if self.device_master is not None:
-            self.device_master.sync_to_host(self.state.k2k_pose,
-                                            self.state.lm_state)
+            self.device_master.sync_to_host(
+                self.state.k2k_pose, self.state.lm_state, max_age=max_age,
+                min_seq=self._closure_barrier_seq if max_age else 0)
 
     def fence(self) -> None:
         """Drain all pending async device work WITHOUT downloading state
@@ -312,13 +337,17 @@ class SrbaEngine:
 
                 def _seed_globals():
                     """Optimized global estimate, throttled: rebuilt at most
-                    every `_seed_cache_max_age` KFs (sync + spanning-tree
-                    compose); newer KFs are covered frame-consistently by
-                    dead-reckoned increments from the cache's anchor."""
+                    every `_seed_cache_max_age` KFs (stale-tolerant sync +
+                    spanning-tree compose — the rebuild's remaining cost is
+                    the host-side level-batched compose, no blocking RTT);
+                    newer KFs are covered frame-consistently by dead-reckoned
+                    increments from the cache's anchor."""
                     c = self._seed_cache
                     if c is None or (self.state.num_kfs - c[0]
                                      > self._seed_cache_max_age):
-                        G, dist = self.create_complete_spanning_tree(0)
+                        G, dist = self.create_complete_spanning_tree(
+                            0, _mirror_max_age=self.parameters
+                            .closure_mirror_max_age)
                         c = (self.state.num_kfs, G, dist)
                         self._seed_cache = c
                     return c
@@ -400,10 +429,33 @@ class SrbaEngine:
                                 bootstrap_closure_edge
                             voters = self._closure_voters(observations, t)
                             if voters and not synced_for_boot:
-                                self.sync()   # fresh host mirror for paths
+                                # Retry fits run EVERY closure-voting frame
+                                # (the sigma gate typically needs several
+                                # attempts per revisited area) against a
+                                # loosely fresh mirror kept current by the
+                                # async prefetch cadence — a reject on
+                                # slightly stale data just re-votes next
+                                # frame, so no blocking RTT is spent here.
+                                self.sync(max_age=self.parameters
+                                          .closure_mirror_max_age)
                                 synced_for_boot = True
-                            status, T = bootstrap_closure_edge(
+                            status, T, ratio = bootstrap_closure_edge(
                                 self, t, voters, init)
+                            if self.device_master is not None \
+                                    and self.device_master.dirty \
+                                    and status != "n/a" \
+                                    and ratio <= 2.0:
+                                # NEAR-threshold (or passing) fit on a
+                                # possibly-stale mirror: decide against the
+                                # exact device state (one blocking RTT) —
+                                # marginal accepts/rejects are always
+                                # settled on fresh data, while far rejects
+                                # (ratio > 2) cost nothing.  Measured: 12
+                                # of 47 fits land in this band on the
+                                # drifted-loop repro.
+                                self.sync()
+                                status, T, ratio = bootstrap_closure_edge(
+                                    self, t, voters, init)
                             if status == "ok":
                                 init = np.asarray(T, np.float32)
                                 if p_sigma:
@@ -478,6 +530,25 @@ class SrbaEngine:
                 # No solve this frame: still push staged rows to the device
                 # masters so they stay authoritative.
                 self.device_master.flush_append()
+
+            # Closure-vote frames foreshadow more closure-vote frames
+            # (revisits are contiguous): keep an async host-mirror prefetch
+            # in flight for a few frames past the last vote so the next
+            # bootstrap's stale-tolerant sync never blocks on the tunnel.
+            if closure_targets:
+                self._prefetch_countdown = 4
+            if self.device_master is not None:
+                if closure_created:
+                    # The refinement step just dispatched moved the map
+                    # wholesale: raise the staleness barrier and ship a
+                    # fresh post-closure prefetch immediately.
+                    self._closure_barrier_seq = self.device_master.step_seq
+                    self.device_master.maybe_prefetch(
+                        self.parameters.closure_mirror_max_age, force=True)
+                elif self._prefetch_countdown > 0:
+                    self._prefetch_countdown -= 1
+                    self.device_master.maybe_prefetch(
+                        self.parameters.closure_mirror_max_age)
         if self.parameters.verbose >= 1:
             print(f"[srba] kf={kf_id} edges+={len(info.created_edge_ids)} "
                   f"opt={info.optimize_results}")
@@ -524,6 +595,24 @@ class SrbaEngine:
             if fixed_rel_pos is not None:
                 st = np.asarray(fixed_rel_pos, np.float32)
                 internal = self._add_landmark(kf_id, st, fixed=True)
+            elif (init_rel_pos is None and not self.model.has_inverse_model
+                  and self.parameters.mono_min_parallax_deg is not None):
+                # Monocular deferred init: buffer the sighting; materialize
+                # by two-view triangulation once parallax suffices.
+                tri = self._triangulator()
+                tri.hold(lm_id, kf_id, z)
+                hit = tri.try_init(lm_id)
+                if hit is None:
+                    return -1          # still pending
+                base_kf, pt, buffered = hit
+                internal = self._add_landmark(base_kf, pt, fixed=False)
+                self._lm_id_map[lm_id] = internal
+                oid = -1
+                for kf_b, z_b in buffered:   # replay (incl. this sighting)
+                    if self.native is not None:
+                        self.native.add_observation(kf_b, internal)
+                    oid = self.state.add_observation(kf_b, internal, z_b)
+                return oid
             else:
                 st = self._init_landmark(z, init_rel_pos)
                 internal = self._add_landmark(kf_id, st, fixed=False)
@@ -556,13 +645,22 @@ class SrbaEngine:
             pts = self.np_group.apply(self._sensor_pose, pts)
         return {i: pts[j] for j, i in enumerate(idxs)}
 
+    def _triangulator(self):
+        if self._tri is None:
+            from srba_tpu.engine.triangulate import MonoTriangulator
+            self._tri = MonoTriangulator(
+                self, min_parallax_deg=self.parameters.mono_min_parallax_deg)
+        return self._tri
+
     def _init_landmark(self, z: np.ndarray, init_rel_pos) -> np.ndarray:
         if init_rel_pos is not None:
             return np.asarray(init_rel_pos, np.float32)
         if not self.model.has_inverse_model:
             raise ValueError(
                 f"{self.model.name} has no single-view inverse sensor model; "
-                "pass init_rel_pos (or fixed_rel_pos) for new landmarks")
+                "pass init_rel_pos (or fixed_rel_pos) for new landmarks, or "
+                "enable the deferred-triangulation front-end "
+                "(SrbaParams.mono_min_parallax_deg)")
         # Inverse model gives the landmark in the SENSOR frame; map into the
         # base-KF (robot) frame through the mounting pose.  Host-side numpy
         # for the tiny per-landmark math (see np_lie docstring).
@@ -706,14 +804,18 @@ class SrbaEngine:
     # Global-map recovery & evaluation
     # ------------------------------------------------------------------
 
-    def create_complete_spanning_tree(self, root: int = 0):
+    def create_complete_spanning_tree(self, root: int = 0,
+                                      _mirror_max_age: int = 0):
         """Global KF poses by composing relative edge poses outward from
         ``root`` over the full BFS tree (reference
         ``create_complete_spanning_tree`` / ``bfs_visitor``; global poses are
         derived products, never state — SURVEY.md §1.3).  Composition is
         vectorized per BFS level (O(depth) batched group ops, not O(K)
-        scalar composes — matters at multi-thousand-KF maps)."""
-        self.sync()
+        scalar composes — matters at multi-thousand-KF maps).
+
+        ``_mirror_max_age`` is internal (closure seed cache): public callers
+        always get an exact, current-state tree."""
+        self.sync(max_age=_mirror_max_age)
         dist, parent = self.graph.complete_spanning_tree(root)
         G = np.zeros((self.state.num_kfs, self.group.dim), np.float32)
         G[root] = self.np_group.identity()
@@ -890,6 +992,7 @@ class SrbaEngine:
             dm.dirty = True
             info_out["windows"] += float(len(wins))
         self._seed_cache = None   # sweep moved poses wholesale
+        self._closure_barrier_seq = dm.step_seq
         if dev_info is not None:
             import jax
             info_out.update({k: float(v) for k, v in

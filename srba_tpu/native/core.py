@@ -89,9 +89,17 @@ class NativeCore:
         cap_per_lm = 0 if obs_per_lm_cap is None else int(obs_per_lm_cap)
         lib, h = self._lib, self._h
         counts = np.zeros(3, np.int32)
-        # Start from the last successful bucket shape: windows grow slowly,
-        # so the first attempt almost always fits (one native call per KF).
-        cap_E, cap_L, cap_N = getattr(self, "_caps", (E_MIN, L_MIN, N_MIN))
+        # Start from the last successful bucket shape FOR THIS DEPTH:
+        # windows grow slowly, so the first attempt almost always fits (one
+        # native call per KF).  The ratchet is keyed by opt_depth — a deep
+        # closure-refinement window (depth = max_tree_depth) must not
+        # inflate the padded shape of every subsequent routine window
+        # (measured: config#3's per-KF device step grew ~4x after the first
+        # depth-4 refinement with a shared ratchet).
+        if not isinstance(getattr(self, "_caps", None), dict):
+            self._caps = {}
+        cap_E, cap_L, cap_N = self._caps.get(
+            int(opt_depth), (E_MIN, L_MIN, N_MIN))
         for _ in range(16):  # grows geometrically until it fits
             E, L, N = cap_E, cap_L, cap_N
             edge_gids = np.zeros(E, np.int32)
@@ -121,7 +129,7 @@ class NativeCore:
             cap_N = max(cap_N, _bucket(int(counts[2]), N_MIN))
         else:
             raise RuntimeError("native window build failed to converge")
-        self._caps = (cap_E, cap_L, cap_N)
+        self._caps[int(opt_depth)] = (cap_E, cap_L, cap_N)
 
         E_real, L_real, N_real = (int(counts[0]), int(counts[1]),
                                   int(counts[2]))

@@ -57,6 +57,37 @@ def main() -> int:
         res["ate"] = float(ate_rmse(G[:, :2], world.gt_poses[:, :2]))
         res["gsum"] = float(np.abs(G).sum())
         res["num_kfs"] = eng.num_keyframes
+    elif mode == "overhead":
+        # Timed coordinator loop (benchmarks/multihost_overhead.py): same
+        # engine + dataset shape as "engine" mode but big enough to time,
+        # reporting keyframes/sec so the per-KF broadcast cost share vs a
+        # single-process run can be recorded (BASELINE.md DCN-cost
+        # placeholder for the scaling north star).
+        import time as _time
+
+        from srba_tpu.engine.engine import Observation, SrbaParams
+        from srba_tpu.models.noise import NoiseIdentity
+        from srba_tpu.utils.datasets import make_world_loop_2d, observe
+        K = 100
+        world = make_world_loop_2d(num_kfs=K, radius=10.0,
+                                   num_landmarks=180, seed=11)
+        eng = mh.MultiHostEngine(
+            "RangeBearing2D", noise=NoiseIdentity(0.005),
+            params=SrbaParams(max_tree_depth=4, max_optimize_depth=4))
+        mh.sync_processes("warm")
+        if mh.is_coordinator():
+            ds = observe(world, "RangeBearing2D", noise_std=0.005,
+                         sensor_range=6.0, odo_noise_std=0.01, seed=11)
+            t0 = _time.perf_counter()
+            for k, frame in enumerate(ds.frames):
+                eng.define_new_keyframe(
+                    [Observation(lm_id=m, z=z) for m, z in frame],
+                    edge_init={k - 1: ds.odometry[k - 1]} if k else None)
+            res["kf_per_sec"] = K / (_time.perf_counter() - t0)
+            eng.stop()
+        else:
+            res["served"] = eng.serve()
+        res["num_kfs"] = eng.num_keyframes
     elif mode == "pgo":
         from srba_tpu.ops.np_lie import NpSE3
         from srba_tpu.solver.global_graphslam import (
