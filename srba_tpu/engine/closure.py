@@ -94,16 +94,19 @@ def _voter_points_in_center(engine, center: int,
 
 
 def _obs_residual_fn(engine, P: np.ndarray, Z: np.ndarray):
-    """Observation-space residual of the closure transform: maps
-    center-frame voter points P through T (=T_new<-center) and the sensor
-    mounting pose, predicts with the model's ``h``, subtracts Z.
+    """BATCHED observation-space residual of the closure transform: maps
+    center-frame voter points P [M, d] through T (=T_new<-center,
+    ``[..., pose_dim]`` — any leading batch shape) and the sensor mounting
+    pose, predicts with the model's ``h``, subtracts Z.  Returns
+    ``[..., M * z_dim]``.
 
-    This is the statistically correct fit metric: a 3D point-distance fit
-    (Kabsch) weights the stereo/mono DEPTH direction — whose error grows as
-    z^2 — equally with the pixel-accurate bearing directions, and a handful
-    of long-range voters then yields transforms tens of degrees off
-    (measured: 2.8 m / 35 deg at the first stereo revisit).  Minimizing in
-    observation space recovers bearing-grade accuracy."""
+    Observation space is the statistically correct fit metric: a 3D
+    point-distance fit (Kabsch) weights the stereo/mono DEPTH direction —
+    whose error grows as z^2 — equally with the pixel-accurate bearing
+    directions, and a handful of long-range voters then yields transforms
+    tens of degrees off (measured: 2.8 m / 35 deg at the first stereo
+    revisit).  Minimizing in observation space recovers bearing-grade
+    accuracy."""
     model, g = engine.model, engine.np_group
     calib = engine._calib_np
     spinv = engine._sensor_pose_inv.astype(np.float64)
@@ -111,75 +114,95 @@ def _obs_residual_fn(engine, P: np.ndarray, Z: np.ndarray):
     is_cam = calib is not None
 
     def residual(T):
-        q = g.apply(T, P)                        # new-KF robot frame
+        T = np.asarray(T, np.float64)
+        q = g.apply(T[..., None, :], P)          # [..., M, d] new-KF frame
         s = g.apply(spinv, q) if use_sp else q   # sensor frame
         pred = np.asarray(model.h(s, calib), np.float64)
         r = pred - Z
         if is_cam:
             # Points behind the camera: saturate (keeps FD finite, repels
             # fits that tunnel through the image plane).
-            r[s[..., 2] <= 1e-3] = 1e3
-        return r.reshape(-1)
+            r = np.where(s[..., 2:3] <= 1e-3, 1e3, r)
+        return r.reshape(T.shape[:-1] + (-1,))
 
     return residual
 
 
-def _gn_solve(g, residual, T0, dof: int, iters: int = 25
-              ) -> Tuple[np.ndarray, float, np.ndarray]:
-    """Damped Gauss-Newton on a numpy residual with finite-difference
-    Jacobian over the ``dof``-dim tangent (voter counts are tiny; host
-    numpy is the right venue — engine/closure.py module docstring).
-    Returns ``(T, rms, JtJ)`` with JtJ from the final linearization (the
+def _gn_solve_batched(g, residual, T0, dof: int, iters: int = 25
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Damped Gauss-Newton on a BATCH of starts simultaneously, with the
+    finite-difference Jacobian also batched — one vectorized residual call
+    per (iteration, tangent dim) instead of one scalar call per (start,
+    iteration, dim): measured 1.2 s -> ~60 ms per multi-start mono PnP fit
+    (host numpy is still the right venue — module docstring — but Python
+    loop count must not scale with start count).
+
+    ``T0`` is [B, pose_dim]; returns ``(T [B, pose_dim], rms [B],
+    JtJ [B, dof, dof])`` with JtJ from the final linearization (the
     observability/covariance estimate used for gating)."""
     T = np.asarray(T0, np.float64)
-    lam = 1e-2
-    r = residual(T)
-    err = float(r @ r)
-    J = np.zeros((r.size, dof))
+    B = T.shape[0]
+    lam = np.full(B, 1e-2)
+    r = residual(T)                                        # [B, R]
+    R = r.shape[-1]
+    err = np.einsum("br,br->b", r, r)
+    eye = np.eye(dof)
+    eps = 1e-5
+    JtJ = np.zeros((B, dof, dof))
+    stall = 0
     for _ in range(iters):
-        eps = 1e-5
-        for d in range(dof):
-            dv = np.zeros(dof)
-            dv[d] = eps
-            J[:, d] = (residual(g.retract(T, dv)) - r) / eps
-        H = J.T @ J + lam * np.eye(dof)
+        # FD Jacobian: dof batched evaluations (retract broadcasts the
+        # [dof]-dim unit step against the [B] starts).
+        J = np.stack(
+            [(residual(g.retract(T, eps * eye[d])) - r) / eps
+             for d in range(dof)], axis=-1)                # [B, R, dof]
+        JtJ = np.einsum("brd,bre->bde", J, J)
+        gvec = np.einsum("brd,br->bd", J, r)
+        Hd = JtJ + lam[:, None, None] * eye[None]
         try:
-            delta = -np.linalg.solve(H, J.T @ r)
+            delta = -np.linalg.solve(Hd, gvec[..., None])[..., 0]
         except np.linalg.LinAlgError:
             break
         T_new = g.retract(T, delta)
         r_new = residual(T_new)
-        err_new = float(r_new @ r_new)
-        if err_new < err:
-            T, r, err = T_new, r_new, err_new
-            lam = max(lam * 0.3, 1e-8)
-            if err / max(r.size, 1) < 1e-8:
-                break
-        else:
-            lam = min(lam * 10.0, 1e6)
-    return T, float(np.sqrt(err / max(r.size, 1))), J.T @ J
+        err_new = np.einsum("br,br->b", r_new, r_new)
+        acc = err_new < err                                # NaN -> False
+        T = np.where(acc[:, None], T_new, T)
+        r = np.where(acc[:, None], r_new, r)
+        err = np.where(acc, err_new, err)
+        lam = np.where(acc, np.maximum(lam * 0.3, 1e-8),
+                       np.minimum(lam * 10.0, 1e6))
+        if float(err.min()) / max(R, 1) < 1e-8:
+            break                    # best start is at machine noise
+        stall = 0 if acc.any() else stall + 1
+        if stall >= 3:
+            break                    # every start is at its local optimum
+    return T, np.sqrt(err / max(R, 1)), JtJ
+
+
+def _gn_solve(g, residual, T0, dof: int, iters: int = 25
+              ) -> Tuple[np.ndarray, float, np.ndarray]:
+    """Single-start wrapper over :func:`_gn_solve_batched`."""
+    T, rms, JtJ = _gn_solve_batched(
+        g, residual, np.asarray(T0, np.float64)[None], dof, iters)
+    return T[0], float(rms[0]), JtJ[0]
 
 
 def _mono_pnp(engine, P: np.ndarray, Z: np.ndarray, T_seed: np.ndarray
               ) -> Tuple[Optional[np.ndarray], float, Optional[np.ndarray]]:
     """Multi-start damped Gauss-Newton PnP: returns
     ``(T_new<-center, rms_px, JtJ)``.  Starts = seed composed with a yaw
-    grid (drift is predominantly yaw)."""
+    grid (drift is predominantly yaw); ALL starts advance together in one
+    batched solve."""
     g = engine.np_group
     residual = _obs_residual_fn(engine, P, Z)
-
-    best = (None, np.inf, None)
     yaws = np.deg2rad([0, 15, -15, 30, -30, 45, -45, 60, -60, 90, -90, 180])
-    for y in yaws:
-        dv = np.zeros(6)
-        dv[5] = y                       # yaw slot of the SE3 pseudo-log
-        T0 = g.retract(np.asarray(T_seed, np.float64), dv)
-        T, rms, JtJ = _gn_solve(g, residual, T0, 6)
-        if rms < best[1]:
-            best = (T, rms, JtJ)
-        if best[1] < 1.0:               # sub-pixel: no better basin exists
-            break
-    return best
+    dv = np.zeros((len(yaws), 6))
+    dv[:, 5] = yaws                     # yaw slot of the SE3 pseudo-log
+    T0 = g.retract(np.asarray(T_seed, np.float64)[None, :], dv)
+    T, rms, JtJ = _gn_solve_batched(g, residual, T0, 6)
+    b = int(np.argmin(rms))
+    return T[b], float(rms[b]), JtJ[b]
 
 
 def _fit_sigma(rms: float, JtJ: np.ndarray, obs_sigma: float = 1.0) -> float:
@@ -196,31 +219,62 @@ def _fit_sigma(rms: float, JtJ: np.ndarray, obs_sigma: float = 1.0) -> float:
 def bootstrap_closure_edge(engine, center: int,
                            voters: List[Tuple[int, np.ndarray]],
                            seed: np.ndarray
-                           ) -> Tuple[str, Optional[np.ndarray], float]:
+                           ) -> Tuple[str, Optional[np.ndarray], float, float]:
     """Estimate the closure edge ``T_new<-center`` from the re-observed
-    landmarks.  Returns ``(status, T, gate_ratio)`` with status:
+    landmarks.  Returns ``(status, T, gate_ratio, sigma)`` with status:
 
-    * ``"ok"``     — measurement-based estimate in ``T``;
-    * ``"reject"`` — the fit failed its gate; DEFER this closure;
+    * ``"ok"``     — STRONG fit (``sigma <= closure_max_sigma``): create the
+      edge now;
+    * ``"weak"``   — valid fit, but underdetermined voter geometry / higher
+      residual puts sigma in ``(closure_max_sigma, closure_max_sigma *
+      closure_accept_sigma_factor]``.  ``T`` IS returned: the engine caches
+      the best weak fit per area and materializes it (weighted 1/sigma^2)
+      only if no strong fit arrives before the revisit ends — a weak
+      closure must never preempt a later strong one (creating the edge
+      suppresses re-voting), but an area about to be left unclosed takes
+      the best weak fit rather than nothing (round 3's binary gate left the
+      5k-KF mono run ~19 closures for ~300 revisited areas and the global
+      PGO unconstrained);
+    * ``"reject"`` — the fit failed hard (residual RMS beyond
+      ``closure_gate_px``, or sigma beyond the weak cap); DEFER (the ECP
+      re-votes on later frames);
     * ``"n/a"``    — not applicable (too few usable correspondences /
       pose-landmark mode); caller falls back to estimate-based seeding.
 
-    ``gate_ratio`` is the fit's worst gate value over its threshold
-    (<= 1 means every gate passed): the engine's staleness policy
-    re-verifies NEAR-threshold fits (ratio <= ~2) against a fresh mirror
-    while rejecting far fits cheaply (engine.py closure branch).
+    ``sigma`` is the fit's predicted worst-direction pose sigma
+    (:func:`_fit_sigma`); the engine converts it into the edge's prior
+    weight and the global PGO's per-edge information, so weaker accepted
+    closures inform proportionally instead of pulling with full strength.
+    ``gate_ratio`` is the fit's worst gate value over its (strong)
+    threshold; the engine's staleness policy re-verifies non-far fits
+    against a fresh mirror while far rejects cost nothing (engine.py
+    closure branch).
     """
     model = engine.model
     if getattr(model, "is_pose_landmark", False):
-        return "n/a", None, np.inf
+        return "n/a", None, np.inf, np.inf
     P, Z = _voter_points_in_center(engine, center, voters)
     d = engine.lm_type.dim
     dof = engine.group.dof
     max_sigma = engine.parameters.closure_max_sigma
+    factor = engine.parameters.closure_accept_sigma_factor
+
+    def _gate(rms_ratio, sigma):
+        """Accept policy (see docstring)."""
+        ratio = rms_ratio
+        if max_sigma is not None:
+            ratio = max(ratio, sigma / max_sigma)
+        if rms_ratio > 1.0:
+            return "reject", ratio
+        if max_sigma is None or sigma <= max_sigma:
+            return "ok", ratio
+        if sigma <= max_sigma * factor:
+            return "weak", ratio
+        return "reject", ratio
 
     if model.has_inverse_model:
         if P.shape[0] < (2 if d == 2 else 3):
-            return "n/a", None, np.inf
+            return "n/a", None, np.inf, np.inf
         # Measured points in the NEW keyframe's robot frame.
         pts_new = np.asarray(model.inverse(Z.astype(np.float32),
                                            engine._calib_np), np.float64)
@@ -229,7 +283,7 @@ def bootstrap_closure_edge(engine, center: int,
                 engine._sensor_pose.astype(np.float64), pts_new)
         # Collinearity guard: Kabsch needs spatial extent.
         if np.linalg.matrix_rank(P - P.mean(0), tol=1e-6) < min(d, 2):
-            return "n/a", None, np.inf
+            return "n/a", None, np.inf, np.inf
         R, t = _kabsch(P, pts_new)      # p_new ~= R p_center + t = T (+) p
         T = _se2_from_rt(R, t) if d == 2 else _se3_from_rt(R, t)
         # Kabsch is only the INITIAL BASIN: polish in observation space
@@ -240,23 +294,22 @@ def bootstrap_closure_edge(engine, center: int,
                                     Z.astype(np.float64))
         T, rms, JtJ = _gn_solve(engine.np_group, residual,
                                 np.asarray(T, np.float64), dof)
-        ratio = (_fit_sigma(rms, JtJ) / max_sigma
-                 if max_sigma is not None else 0.0)
-        if ratio > 1.0:
-            return "reject", None, ratio
-        return "ok", T.astype(np.float32), ratio
+        sigma = _fit_sigma(rms, JtJ)
+        status, ratio = _gate(0.0, sigma)
+        if status == "reject":
+            return status, None, ratio, sigma
+        return status, T.astype(np.float32), ratio, sigma
 
     if model.name == "MonocularCamera":
         if P.shape[0] < 4:
-            return "n/a", None, np.inf
+            return "n/a", None, np.inf, np.inf
         T, rms, JtJ = _mono_pnp(engine, P, Z, seed)
         if T is None:
-            return "reject", None, np.inf
-        ratio = rms / engine.parameters.closure_gate_px
-        if max_sigma is not None:
-            ratio = max(ratio, _fit_sigma(rms, JtJ) / max_sigma)
-        if ratio > 1.0:
-            return "reject", None, ratio
-        return "ok", T.astype(np.float32), ratio
+            return "reject", None, np.inf, np.inf
+        sigma = _fit_sigma(rms, JtJ)
+        status, ratio = _gate(rms / engine.parameters.closure_gate_px, sigma)
+        if status == "reject":
+            return status, None, ratio, sigma
+        return status, T.astype(np.float32), ratio, sigma
 
-    return "n/a", None, np.inf
+    return "n/a", None, np.inf, np.inf

@@ -57,11 +57,30 @@ class SrbaParams:
     # closure_gate_px RMS are DEFERRED (the ECP re-votes next frames).
     closure_bootstrap: bool = True
     closure_gate_px: float = 25.0
-    # Closure observability gate: defer a closure whose fit predicts a
-    # worst-direction pose sigma above this (meters/radians) — either the
-    # residual is bad or the voter geometry is underdetermined
-    # (engine/closure.py _fit_sigma).  None disables the gate.
+    # Closure observability threshold (meters/radians): a fit whose
+    # predicted worst-direction pose sigma (engine/closure.py _fit_sigma)
+    # is below this is a STRONG closure; fits up to
+    # ``closure_accept_sigma_factor`` times it are still ACCEPTED but carry
+    # proportionally lower weight (prior weight and global-PGO information
+    # are 1/sigma^2 of the measured value) — weak closures inform without
+    # dominating; beyond the factor the fit is deferred (the ECP re-votes
+    # on later frames).  None disables sigma gating entirely.
     closure_max_sigma: Optional[float] = 0.3
+    closure_accept_sigma_factor: float = 3.0
+    # After a closure fit to an area center hard-rejects, skip re-fitting
+    # that center for this many keyframes (revisits are contiguous: the
+    # next frame's fit uses near-identical voters and fails the same way;
+    # measured round 3, the every-frame multi-start PnP retry cost config#5
+    # ~40% of its incremental throughput).  Weak/strong fits never cool
+    # down — they are cheap (the cached fit seeds the next one into the
+    # right basin immediately).
+    closure_retry_cooldown: int = 4
+    # Keyframes to hold a WEAK closure fit pending before materializing it:
+    # within this window a strong fit supersedes it (a weak edge must not
+    # preempt a strong one — creating the edge suppresses re-voting); after
+    # it, the best weak fit is inserted with weight 1/sigma^2 rather than
+    # leaving the area unclosed.
+    closure_pending_flush_age: int = 8
     # Edge measurement priors (state.k2k_prior): keep each edge's
     # creation-time measured value (odometry / closure bootstrap) as a weak
     # permanent factor in every window solve, weight 1/sigma^2 (scaled down
@@ -72,6 +91,11 @@ class SrbaParams:
     # stereo 60-KF loop, edge error 0.016 -> 2.9 m WITH local opt).  None
     # disables the priors.
     edge_prior_sigma: Optional[float] = 0.05
+    # Reference sigma for closure-edge information in the global PGO export
+    # (io/export.py): a closure whose measured fit sigma equals this keeps
+    # its observation-support weight unscaled; stronger/weaker fits scale
+    # quadratically (clipped).  Also the sigma assumed for closures whose
+    # fit did not run (closure_bootstrap off / "n/a" fallback seeds).
     closure_prior_sigma: float = 0.25
     # Staleness budget (in optimization steps) for the host mirror consumed
     # by the closure SEED cache (`_seed_globals`).  Seeds only pick the
@@ -79,6 +103,12 @@ class SrbaParams:
     # steps old is equivalent — and tolerating age converts a blocking
     # ~25 ms tunnel RTT into an overlapped async prefetch.
     closure_mirror_max_age: int = 16
+    # Re-verify band for closure fits done on a stale mirror: any fit whose
+    # gate ratio is <= this (which includes EVERY accept, ratio <= 1, by
+    # design — accepted closures are always settled on exact device state
+    # before an edge is inserted) is re-fit against a fresh sync; far
+    # rejects (ratio > band) are deferred without paying the blocking RTT.
+    closure_reverify_band: float = 2.0
     # LM solver knobs
     max_iters: int = 20
     lam0: float = 1e-4
@@ -102,8 +132,13 @@ class Observation:
 
     ``fixed_rel_pos``: landmark with exactly known position in its base frame
     (excluded from optimization).  ``init_rel_pos``: explicit initial value
-    for a new unknown landmark (required for monocular, optional elsewhere —
-    default comes from the inverse sensor model)."""
+    for a new unknown landmark (optional for models with an inverse sensor
+    model — the default comes from it).  Monocular: with the default
+    deferred-triangulation front-end (``SrbaParams.mono_min_parallax_deg``)
+    an initless new landmark is buffered and materialized once parallax
+    suffices (``add_observation`` returns -1 while pending); with the
+    front-end disabled (``mono_min_parallax_deg=None``) an init is REQUIRED
+    (``ValueError``), matching the reference's contract."""
 
     lm_id: int
     z: Any
@@ -218,6 +253,13 @@ class SrbaEngine:
         # Frames left to keep async host-mirror prefetches in flight after
         # the last closure-voting frame (see define_new_keyframe).
         self._prefetch_countdown = 0
+        # Area centers whose last closure fit hard-rejected: center -> first
+        # keyframe id allowed to retry (SrbaParams.closure_retry_cooldown).
+        self._closure_cooldown: Dict[int, int] = {}
+        # Best WEAK closure fit per area center, held pending until a strong
+        # fit supersedes it or the flush age passes (SrbaParams.
+        # closure_pending_flush_age): center -> {sigma, T, kf, first_kf}.
+        self._closure_pending: Dict[int, Dict[str, Any]] = {}
         # Step seq of the last accepted closure's refinement: a stale
         # mirror is never accepted from before this point.
         self._closure_barrier_seq = 0
@@ -243,8 +285,9 @@ class SrbaEngine:
     # ------------------------------------------------------------------
 
     def _add_edge(self, from_kf: int, to_kf: int, pose: np.ndarray,
-                  prior_w: float = 0.0) -> int:
-        e = self.state.add_edge(from_kf, to_kf, pose, prior_w=prior_w)
+                  prior_w: float = 0.0, sigma: float = 0.0) -> int:
+        e = self.state.add_edge(from_kf, to_kf, pose, prior_w=prior_w,
+                                sigma=sigma)
         if self.device_master is not None:
             self.device_master.stage_edge(pose, prior_w)
         if self.native is not None:
@@ -420,6 +463,7 @@ class SrbaEngine:
                                 init = _seed_from(g_new, g_t)
                             else:
                                 init = self.np_group.identity()
+                        sigma = 0.0
                         if which == "closure" \
                                 and self.parameters.closure_bootstrap:
                             # Measurement-based closure init: estimates at
@@ -427,47 +471,120 @@ class SrbaEngine:
                             # drift (engine/closure.py docstring).
                             from srba_tpu.engine.closure import \
                                 bootstrap_closure_edge
-                            voters = self._closure_voters(observations, t)
-                            if voters and not synced_for_boot:
-                                # Retry fits run EVERY closure-voting frame
-                                # (the sigma gate typically needs several
-                                # attempts per revisited area) against a
-                                # loosely fresh mirror kept current by the
-                                # async prefetch cadence — a reject on
-                                # slightly stale data just re-votes next
-                                # frame, so no blocking RTT is spent here.
-                                self.sync(max_age=self.parameters
-                                          .closure_mirror_max_age)
-                                synced_for_boot = True
-                            status, T, ratio = bootstrap_closure_edge(
-                                self, t, voters, init)
-                            if self.device_master is not None \
-                                    and self.device_master.dirty \
-                                    and status != "n/a" \
-                                    and ratio <= 2.0:
-                                # NEAR-threshold (or passing) fit on a
-                                # possibly-stale mirror: decide against the
-                                # exact device state (one blocking RTT) —
-                                # marginal accepts/rejects are always
-                                # settled on fresh data, while far rejects
-                                # (ratio > 2) cost nothing.  Measured: 12
-                                # of 47 fits land in this band on the
-                                # drifted-loop repro.
-                                self.sync()
-                                status, T, ratio = bootstrap_closure_edge(
-                                    self, t, voters, init)
+                            if kf_id < self._closure_cooldown.get(t, 0):
+                                continue   # recently hard-rejected: defer
+                            pend = self._closure_pending.get(t)
+                            if pend is not None and G_dr_new is not None \
+                                    and pend["kf"] < len(self._G_dr):
+                                # The cached weak fit is the best available
+                                # seed: compose it forward by the (tiny,
+                                # few-frame) dead-reckoned delta — the
+                                # multi-start PnP then converges from its
+                                # first start.
+                                init = np.asarray(self.np_group.compose(
+                                    _seed_from(G_dr_new,
+                                               self._G_dr[pend["kf"]]),
+                                    pend["T"]), np.float32)
+                            with prof.scope("closure_bootstrap"):
+                                voters = self._closure_voters(
+                                    observations, t)
+                                if voters and not synced_for_boot:
+                                    # Retry fits run on every non-cooldown
+                                    # closure-voting frame against a
+                                    # loosely fresh mirror kept current by
+                                    # the async prefetch cadence — a reject
+                                    # on slightly stale data just re-votes
+                                    # next frame, so no blocking RTT is
+                                    # spent here.
+                                    self.sync(max_age=self.parameters
+                                              .closure_mirror_max_age)
+                                    synced_for_boot = True
+                                status, T, ratio, sigma = \
+                                    bootstrap_closure_edge(
+                                        self, t, voters, init)
+                                if self.device_master is not None \
+                                        and self.device_master.dirty \
+                                        and status != "n/a" \
+                                        and ratio <= self.parameters.\
+                                        closure_reverify_band:
+                                    # Passing-or-near fit on a possibly-
+                                    # stale mirror: settle against the
+                                    # exact device state (one blocking
+                                    # RTT) — fresh voter positions flip
+                                    # marginal outcomes in BOTH directions
+                                    # (a near-reject often becomes a
+                                    # strong accept), so accepts, weaks
+                                    # and near rejects all re-verify
+                                    # (SrbaParams.closure_reverify_band);
+                                    # far rejects cost nothing.
+                                    self.sync()
+                                    status, T, ratio, sigma = \
+                                        bootstrap_closure_edge(
+                                            self, t, voters, init)
                             if status == "ok":
                                 init = np.asarray(T, np.float32)
+                                # Measured-covariance weighting: the fit's
+                                # own sigma (floored at the odometry-grade
+                                # edge_prior_sigma) sets the prior weight —
+                                # strong closures anchor like odometry,
+                                # weak ones inform proportionally.
+                                sigma = max(float(sigma),
+                                            self.parameters.edge_prior_sigma
+                                            or 0.05)
                                 if p_sigma:
-                                    cs = self.parameters.closure_prior_sigma
-                                    prior_w = 1.0 / (cs * cs)
+                                    prior_w = 1.0 / (sigma * sigma)
+                                self._closure_pending.pop(t, None)
+                            elif status == "weak":
+                                # Cache the best weak fit; materialize only
+                                # if no strong fit arrives (flush below).
+                                if pend is None or sigma < pend["sigma"]:
+                                    self._closure_pending[t] = {
+                                        "sigma": float(sigma),
+                                        "T": np.asarray(T, np.float32),
+                                        "kf": kf_id,
+                                        "first_kf": (pend or
+                                                     {}).get("first_kf",
+                                                             kf_id)}
+                                continue      # defer edge creation
                             elif status == "reject":
+                                self._closure_cooldown[t] = (
+                                    kf_id
+                                    + self.parameters.closure_retry_cooldown)
                                 continue      # defer: ECP re-votes later
-                        e = self._add_edge(kf_id, t, init, prior_w=prior_w)
+                            else:
+                                sigma = 0.0   # n/a: estimate-based seed
+                        e = self._add_edge(kf_id, t, init, prior_w=prior_w,
+                                           sigma=sigma)
                         self.graph.add_edge(kf_id, t)
                         info.created_edge_ids.append(e)
                         if which == "closure":
                             closure_created = True
+                            # An edge to this center now exists (any
+                            # status): a pending weak fit must not flush a
+                            # duplicate later.
+                            self._closure_pending.pop(t, None)
+
+                # Flush aged-out pending weak closures: no strong fit
+                # arrived within the flush window, so the best weak fit
+                # becomes the edge — valued at its own fit (relative to the
+                # center, drift-free) and weighted by its measured sigma.
+                # Edge endpoints are (kf_at_fit, center); the graph is
+                # append-only, so inserting an edge at a slightly older
+                # keyframe is always valid.
+                if self._closure_pending:
+                    flush_age = self.parameters.closure_pending_flush_age
+                    for c in [c for c, r in self._closure_pending.items()
+                              if kf_id - r["first_kf"] >= flush_age]:
+                        rec = self._closure_pending.pop(c)
+                        sig = max(rec["sigma"],
+                                  self.parameters.edge_prior_sigma or 0.05)
+                        e = self._add_edge(
+                            rec["kf"], c, rec["T"],
+                            prior_w=(1.0 / (sig * sig) if p_sigma else 0.0),
+                            sigma=sig)
+                        self.graph.add_edge(rec["kf"], c)
+                        info.created_edge_ids.append(e)
+                        closure_created = True
 
                 # Record the new KF's dead-reckoned global pose: prefer the
                 # odometry anchor; else derive from the first created edge.
@@ -554,6 +671,25 @@ class SrbaEngine:
                   f"opt={info.optimize_results}")
         return info
 
+    def flush_pending_closures(self) -> int:
+        """Materialize every still-pending weak closure fit immediately
+        (normally they flush after ``closure_pending_flush_age`` keyframes;
+        call this before a terminal global refinement so fits cached near
+        the end of a sequence are not lost).  Returns the number of edges
+        created.  ``refine_map`` and ``optimize_global`` call it
+        implicitly."""
+        n = 0
+        p_sigma = self.parameters.edge_prior_sigma
+        for c in list(self._closure_pending):
+            rec = self._closure_pending.pop(c)
+            sig = max(rec["sigma"], self.parameters.edge_prior_sigma or 0.05)
+            self._add_edge(rec["kf"], c,  rec["T"],
+                           prior_w=(1.0 / (sig * sig) if p_sigma else 0.0),
+                           sigma=sig)
+            self.graph.add_edge(rec["kf"], c)
+            n += 1
+        return n
+
     def _closure_voters(self, observations, center: int):
         """Re-observed landmarks usable to bootstrap a closure edge to
         ``center``: known landmarks whose base KF is reachable from the
@@ -574,7 +710,13 @@ class SrbaEngine:
                         fixed_rel_pos=None, init_rel_pos=None) -> int:
         """Register one observation; first sighting of a landmark makes
         ``kf_id`` its base KF and initializes its relative state (reference
-        ``add_observation`` + ``inverse_sensor_model``)."""
+        ``add_observation`` + ``inverse_sensor_model``).
+
+        Returns the observation id, or **-1** when the landmark is monocular
+        with no init and the deferred-triangulation front-end is active: the
+        sighting is buffered (``num_pending_landmarks``) and replayed once
+        the landmark triangulates — the -1 sentinel means "accepted but not
+        yet part of the problem"."""
         z = np.asarray(z, np.float32)
         assert z.shape == (self.model.z_dim,), (
             f"observation must be {self.model.z_dim}-d, got {z.shape}")
@@ -871,13 +1013,24 @@ class SrbaEngine:
         return dist
 
     def refine_map(self, sweeps: int = 1, stride: Optional[int] = None,
-                   depth: Optional[int] = None, mesh=None) -> Dict[str, float]:
+                   depth: Optional[int] = None, mesh=None,
+                   prior_scale: float = 0.0) -> Dict[str, float]:
         """Map-parallel refinement (M4): block-coordinate LM sweeps over the
         whole map — windows around every ``stride``-th keyframe are solved
         SIMULTANEOUSLY in one vmapped device dispatch per sweep, each unknown
         owned by exactly one window per sweep (disjoint writes; see
         :mod:`srba_tpu.solver.multi_window`).  With ``mesh`` the window axis
-        is sharded over devices.  Requires the device-master path."""
+        is sharded over devices.  Requires the device-master path.
+
+        ``prior_scale`` scales the edge measurement priors inside sweep
+        windows and defaults to **0** (priors OFF): the priors exist to
+        anchor *incremental* visually-degenerate windows; inside a global
+        refinement they pull every window back toward its creation-time
+        dead-reckoned value — stale by exactly the drift the sweep is meant
+        to remove (measured: the 8-device dryrun sweep's final map error
+        regressed 3.41 -> 4.54 when round 3 fed priors into sweeps; dropping
+        them restores it).  Sweep windows lacking observation support simply
+        leave their unknowns unmoved (zero gradient + masked diagonal)."""
         import jax.numpy as jnp
 
         from srba_tpu.solver.multi_window import (make_sweep_step,
@@ -887,6 +1040,7 @@ class SrbaEngine:
 
         assert self.device_master is not None, \
             "refine_map requires the device-master engine mode"
+        self.flush_pending_closures()
         dm = self.device_master
         dm.flush_append()
         tree_depth = self.parameters.max_tree_depth
@@ -985,8 +1139,14 @@ class SrbaEngine:
                 ints[wi] = ints[0] * 0
                 obs_z[wi] = obs_z[0]
 
+            # Scale (default: zero) the prior WEIGHT column for the sweep;
+            # dm.prior itself is untouched (functional .at update), so the
+            # incremental path keeps its priors.
+            prior_in = (dm.prior if prior_scale == 1.0 else
+                        dm.prior.at[:, self.group.dim].multiply(
+                            float(prior_scale)))
             dm.pose, dm.lm, dev_info = step(
-                dm.pose, dm.prior, dm.lm, jnp.asarray(ints),
+                dm.pose, prior_in, dm.lm, jnp.asarray(ints),
                 jnp.asarray(obs_z),
                 dm._whitener_dev, dm._spinv_dev, dm._calib_dev, E, L, N)
             dm.dirty = True
@@ -1016,6 +1176,9 @@ class SrbaEngine:
 
         if mesh is None:
             mesh = self.mesh
+        self.flush_pending_closures()
+        if self.device_master is not None:
+            self.device_master.flush_append()
         prob = get_global_graphslam_problem(self)  # syncs internally
         if cfg is None:
             from srba_tpu.solver.global_graphslam import PGOConfig
@@ -1106,3 +1269,9 @@ class SrbaEngine:
     @property
     def num_landmarks(self) -> int:
         return self.state.num_lms
+
+    @property
+    def num_pending_landmarks(self) -> int:
+        """Monocular landmarks buffered by the deferred-triangulation
+        front-end, not yet materialized (see ``add_observation``)."""
+        return 0 if self._tri is None else self._tri.num_pending

@@ -67,6 +67,12 @@ class ProblemState:
     k2k_prior: Optional[np.ndarray] = None
     k2k_prior_w: np.ndarray = field(
         default_factory=lambda: np.zeros(0, np.float32))
+    # Measured creation-time pose sigma of the edge (closure-bootstrap fit
+    # covariance); 0 = unmeasured (odometry / dead-reckoned seeds).  Host
+    # only — consumed by the global graph-SLAM export's per-edge
+    # information weights (io/export.py), never shipped to device.
+    k2k_sigma: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.float32))
 
     # landmarks
     lm_base: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
@@ -101,18 +107,20 @@ class ProblemState:
         return kf
 
     def add_edge(self, from_kf: int, to_kf: int, pose: np.ndarray,
-                 prior_w: float = 0.0) -> int:
+                 prior_w: float = 0.0, sigma: float = 0.0) -> int:
         e = self.num_edges
         self.k2k_from = _grow(self.k2k_from, e + 1)
         self.k2k_to = _grow(self.k2k_to, e + 1)
         self.k2k_pose = _grow(self.k2k_pose, e + 1)
         self.k2k_prior = _grow(self.k2k_prior, e + 1)
         self.k2k_prior_w = _grow(self.k2k_prior_w, e + 1)
+        self.k2k_sigma = _grow(self.k2k_sigma, e + 1)
         self.k2k_from[e] = from_kf
         self.k2k_to[e] = to_kf
         self.k2k_pose[e] = pose
         self.k2k_prior[e] = pose      # creation value IS the measurement
         self.k2k_prior_w[e] = prior_w
+        self.k2k_sigma[e] = sigma
         self.num_edges += 1
         return e
 

@@ -62,6 +62,12 @@ class MonoTriangulator:
     first defines the base frame, the rest add parallax)."""
 
     MAX_BUFFER = 16
+    # Pending landmarks whose NEWEST sighting is older than this many
+    # keyframes are evicted: the track has ended without ever reaching the
+    # parallax threshold (point near the focus of expansion, or a
+    # stationary segment), so its buffered observations can never
+    # materialize and would leak for the life of the engine.
+    MAX_IDLE_KFS = 64
 
     def __init__(self, engine, min_parallax_deg: float = 1.0,
                  max_depth: float = 100.0):
@@ -69,11 +75,26 @@ class MonoTriangulator:
         self.min_parallax = float(np.deg2rad(min_parallax_deg))
         self.max_depth = float(max_depth)
         self._pending: Dict[int, List[Tuple[int, np.ndarray]]] = {}
+        self._last_prune_kf = 0
 
     def hold(self, lm_id: int, kf_id: int, z: np.ndarray) -> None:
         buf = self._pending.setdefault(lm_id, [])
         if len(buf) < self.MAX_BUFFER:
             buf.append((kf_id, np.asarray(z, np.float32)))
+        else:
+            # Full buffer: REPLACE the newest entry instead of dropping the
+            # sighting — the first entry pins the base frame and the newest
+            # carries the widest baseline, so a landmark whose first
+            # MAX_BUFFER sightings were all sub-parallax (forward motion
+            # toward it, a stop) can still materialize when the trajectory
+            # finally yields baseline.
+            buf[-1] = (kf_id, np.asarray(z, np.float32))
+        if kf_id - self._last_prune_kf >= self.MAX_IDLE_KFS:
+            self._last_prune_kf = kf_id
+            stale = [l for l, b in self._pending.items()
+                     if kf_id - b[-1][0] > self.MAX_IDLE_KFS]
+            for l in stale:
+                del self._pending[l]
 
     def _bearing_in_robot(self, z: np.ndarray) -> Tuple[np.ndarray,
                                                         np.ndarray]:

@@ -15,7 +15,8 @@ from dataclasses import asdict
 import numpy as np
 
 
-CHECKPOINT_VERSION = 3   # v3 adds edge measurement priors (k2k_prior/_w)
+CHECKPOINT_VERSION = 4   # v4 adds per-edge measured sigma (k2k_sigma);
+# v3 added edge measurement priors (k2k_prior/_w)
 
 
 def _encode_calib(calib):
@@ -123,6 +124,7 @@ def save_checkpoint(engine, path: str) -> None:
         k2k_pose=st.k2k_pose[: st.num_edges],
         k2k_prior=st.k2k_prior[: st.num_edges],
         k2k_prior_w=st.k2k_prior_w[: st.num_edges],
+        k2k_sigma=st.k2k_sigma[: st.num_edges],
         lm_base=st.lm_base[: st.num_lms],
         lm_state=st.lm_state[: st.num_lms],
         lm_fixed=st.lm_fixed[: st.num_lms],
@@ -142,7 +144,7 @@ def load_checkpoint(path: str, calib=None, noise=None, sensor_pose=None,
 
     data = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(data["meta"]).decode())
-    assert meta["version"] in (2, CHECKPOINT_VERSION), (
+    assert meta["version"] in (2, 3, CHECKPOINT_VERSION), (
         f"unsupported checkpoint version {meta['version']}")
     has_priors = meta["version"] >= 3
 
@@ -169,7 +171,9 @@ def load_checkpoint(path: str, calib=None, noise=None, sensor_pose=None,
         a, b = int(data["k2k_from"][e]), int(data["k2k_to"][e])
         st.add_edge(a, b, data["k2k_pose"][e],
                     prior_w=(float(data["k2k_prior_w"][e])
-                             if has_priors else 0.0))
+                             if has_priors else 0.0),
+                    sigma=(float(data["k2k_sigma"][e])
+                           if meta["version"] >= 4 else 0.0))
         if has_priors:
             st.k2k_prior[e] = data["k2k_prior"][e]
         eng.graph.add_edge(a, b)

@@ -83,8 +83,16 @@ def get_global_graphslam_problem(engine, with_weights: bool = True) -> Dict:
     """Convert the relative problem into an absolute-coordinate pose graph
     (reference ``get_global_graphslam_problem``): nodes = KFs with global
     poses composed from the complete spanning tree, edges = all k2k edges as
-    relative-pose constraints, ``edge_weights`` = per-edge observation
-    support (see :func:`edge_observation_support`)."""
+    relative-pose constraints, ``edge_weights`` = per-edge information.
+
+    Per-edge information = observation support
+    (:func:`edge_observation_support`) scaled, for closure edges whose
+    bootstrap fit recorded a covariance (``state.k2k_sigma``), by the
+    measured fit quality ``(closure_prior_sigma / sigma)^2`` (clipped to
+    [0.05, 4]) — the scalar version of the reference's per-edge information
+    matrices from the local solver (``impl/get_global_graphslam_problem.h``,
+    public MRPT/srba layout).  Weak-but-accepted closures thus inform the
+    PGO proportionally instead of pulling with full weight."""
     G, dist = engine.create_complete_spanning_tree(0)
     st = engine.state
     edges = []
@@ -100,7 +108,14 @@ def get_global_graphslam_problem(engine, with_weights: bool = True) -> Dict:
         "edges": edges,
     }
     if with_weights:
-        out["edge_weights"] = edge_observation_support(engine)
+        support = edge_observation_support(engine)
+        sig = np.asarray(st.k2k_sigma[: st.num_edges], np.float64)
+        s0 = float(engine.parameters.closure_prior_sigma)
+        scale = np.where(
+            sig > 0,
+            np.clip((s0 / np.maximum(sig, 1e-6)) ** 2, 0.05, 4.0),
+            1.0)
+        out["edge_weights"] = (support * scale).astype(np.float32)
     return out
 
 

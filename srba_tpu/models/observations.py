@@ -206,10 +206,14 @@ class RangeBearing3D(_PointObs):
 class MonocularCamera(_PointObs):
     """Pinhole projection, obs = (u, v).  Camera looks along +z.
 
-    No single-view inverse model exists (depth unobservable); landmark
-    initialization must be supplied by the caller or uses an assumed depth —
-    mirroring the reference, where monocular landmarks are seeded with an
-    explicit ``unknown_rel_pos_init``.
+    No single-view inverse model exists (depth unobservable).  Landmark
+    initialization comes from either (a) a caller-supplied
+    ``init_rel_pos`` — the reference's contract, where monocular landmarks
+    are seeded with an explicit ``unknown_rel_pos_init`` — or (b) the
+    engine's deferred two-view triangulation front-end
+    (``SrbaParams.mono_min_parallax_deg``, on by default), which buffers
+    initless sightings (``add_observation`` returns -1 while pending) and
+    materializes the landmark once parallax suffices.
     """
 
     name = "MonocularCamera"

@@ -50,8 +50,19 @@ class PGOConfig:
     lam_down: float = 0.1
     lam_min: float = 1e-10
     lam_max: float = 1e8
-    rel_tol: float = 1e-8
+    # Convergence: an accepted step whose relative error decrease is below
+    # rel_tol certifies the fixed point.  The error is an f32 accumulation
+    # over up to ~100k edges (eps_f32 ~ 1.2e-7), so a tolerance below ~1e-6
+    # is numerically unsatisfiable — LM then burns its full iteration budget
+    # and reports "unconverged" on solves that plateaued long before
+    # (measured round 3: the 20k-node bench re-entered +30 iterations for a
+    # 2x cost and zero error change).  1e-5 is the f32-appropriate stop.
+    rel_tol: float = 1e-5
     cg_rtol: float = 1e-6
+    # Consecutive rejected steps before declaring the solve converged at a
+    # local optimum: rejects only raise lambda, and once several in a row
+    # fail the iterate is a fixed point for any useful step size.
+    max_consec_rejects: int = 3
     # Robust edge loss: pseudo-Huber with this tangent-norm scale (None =
     # quadratic).  Implemented as IRLS: each LM outer iteration re-weights
     # every edge by rho'(s) of its CURRENT whitened squared norm, so biased
@@ -215,7 +226,7 @@ def _make_pgo(cfg: PGOConfig):
             return out[0], out[4]
 
         def lm_body(s):
-            G, lam, err, it, done, cg_total = s
+            G, lam, err, it, rej, done, cg_total = s
             rw = _robust_weight(_edge_sq(G, ea, eb, z, w))
             r, A, B = linearize(G, ea, eb, z, w, rw)
             JT, Hv, block_diag = build_ops(K, ea, eb, A, B, gauge_mask)
@@ -252,12 +263,15 @@ def _make_pgo(cfg: PGOConfig):
                             jnp.maximum(lam * cfg.lam_down, cfg.lam_min),
                             jnp.minimum(lam * cfg.lam_up, cfg.lam_max))
             improved = (err - err_new) > cfg.rel_tol * (err + 1e-30)
-            done = jnp.logical_and(accept, jnp.logical_not(improved))
+            rej = jnp.where(accept, 0, rej + 1)
+            done = jnp.logical_or(
+                jnp.logical_and(accept, jnp.logical_not(improved)),
+                rej >= cfg.max_consec_rejects)
             err = jnp.where(accept, err_new, err)
-            return (G, lam, err, it + 1, done, cg_total + cg_used)
+            return (G, lam, err, it + 1, rej, done, cg_total + cg_used)
 
         def lm_cond(s):
-            G, lam, err, it, done, cg_total = s
+            G, lam, err, it, rej, done, cg_total = s
             return jnp.logical_and(jnp.logical_not(done),
                                    it < cfg.max_outer)
 
@@ -269,9 +283,9 @@ def _make_pgo(cfg: PGOConfig):
             G0 = chordal(G0, ea, eb, z, w)
         err0 = err_of(G0)
         init = (G0, jnp.asarray(cfg.lam0, G0.dtype), err0,
-                jnp.asarray(0, jnp.int32), jnp.asarray(False),
-                jnp.asarray(0, jnp.int32))
-        G, lam, err, it, done, cg_total = jax.lax.while_loop(
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False), jnp.asarray(0, jnp.int32))
+        G, lam, err, it, rej, done, cg_total = jax.lax.while_loop(
             lm_cond, lm_body, init)
         # done=True means LM reached its relative-improvement fixed point;
         # otherwise the iteration budget ran out (caller should escalate).

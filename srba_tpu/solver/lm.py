@@ -303,6 +303,21 @@ def make_solver_impl(cfg: SolverConfig):
         bump = lam * diag_f + cfg.diag_floor + (1.0 - b.lm_opt)[:, None]
         Hf_d = Hf + jax.vmap(jnp.diag)(bump)
 
+        def _scaled_chol_solve(H, rhs):
+            """Dense Cholesky with symmetric Jacobi equilibration:
+            x = S (SHS)^-1 S rhs with S = diag(H)^{-1/2}.  The window
+            systems mix pixel-unit Jacobians (fx ~ hundreds) with unit-norm
+            quaternion tangents, giving diag(H) a ~1e6 dynamic range; in
+            f32 the raw Cholesky's rounding then makes the lambda/accept
+            path of the LM loop branch-unstable run to run (measured: the
+            identical fixed-seed 8-iter stereo dryrun ended anywhere from
+            4e-9 to 2e+1).  Equilibration bounds the condition exposure at
+            ~sqrt(kappa) and costs two rank-1 scalings."""
+            s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(H), 1e-20))
+            Hs = H * s[:, None] * s[None, :]
+            chol = jax.scipy.linalg.cho_factor(Hs)
+            return s * jax.scipy.linalg.cho_solve(chol, rhs * s)
+
         if cfg.solver == "no_schur_dense_cholesky":
             # Full-system dense Cholesky (no landmark marginalization) —
             # the analog of the reference's no-Schur solver engine.
@@ -314,8 +329,7 @@ def make_solver_impl(cfg: SolverConfig):
             Hf_full = Hf_full.at[idx, :, idx, :].set(Hf_d).reshape(Q, Q)
             H = jnp.block([[Hp_d, Hpf_full], [Hpf_full.T, Hf_full]])
             rhs = jnp.concatenate([gp, gf.reshape(Q)])
-            chol = jax.scipy.linalg.cho_factor(H)
-            delta = -jax.scipy.linalg.cho_solve(chol, rhs)
+            delta = -_scaled_chol_solve(H, rhs)
             dp = delta[:P] * epm
             df = delta[P:].reshape(L, ldof) * b.lm_opt[:, None]
             return dp.reshape(E, pdof), df
@@ -326,8 +340,7 @@ def make_solver_impl(cfg: SolverConfig):
 
         A = Hp_d - jnp.einsum("lpi,lij,lqj->pq", Hpf, Hf_inv, Hpf)
         rhs = gp - jnp.einsum("lpi,lij,lj->p", Hpf, Hf_inv, gf)
-        chol = jax.scipy.linalg.cho_factor(A)
-        dp = -jax.scipy.linalg.cho_solve(chol, rhs) * epm          # [P]
+        dp = -_scaled_chol_solve(A, rhs) * epm                     # [P]
         # Back-substitute landmarks: df = Hf_inv (-gf - Hpf^T dp).
         df = jnp.einsum(
             "lij,lj->li", Hf_inv,

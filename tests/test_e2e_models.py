@@ -171,12 +171,47 @@ class TestMonocular:
         _drive(eng, ds, lm_init_fn=lm_init)
         assert _ate(eng, world) < 0.5
 
-    def test_raises_without_init(self):
+    def test_raises_without_init_when_frontend_disabled(self):
+        """With the deferred-triangulation front-end disabled
+        (``mono_min_parallax_deg=None``) the engine keeps the reference's
+        must-supply-init contract: a new mono landmark without an init is an
+        error."""
         calib = CameraCalib.make()
-        eng = SrbaEngine("MonocularCamera", calib=calib)
+        eng = SrbaEngine("MonocularCamera", calib=calib,
+                         params=SrbaParams(mono_min_parallax_deg=None))
         with pytest.raises(ValueError, match="inverse sensor model"):
             eng.define_new_keyframe(
                 [Observation(lm_id=0, z=np.asarray([160.0, 120.0]))])
+
+    def test_deferred_init_defers_then_materializes(self):
+        """Default front-end: an initless mono landmark is held pending
+        (``add_observation`` returns the -1 sentinel, nothing allocated)
+        until a sighting with enough parallax triangulates it, at which point
+        every buffered observation is replayed into the problem."""
+        calib = CameraCalib.make()
+        eng = SrbaEngine("MonocularCamera", calib=calib)
+        # KF 0 observes an unknown landmark ~4 m ahead (optical axis = +x
+        # robot with the identity mounting: z straight down the pixel
+        # center).  No init: must defer.
+        eng.define_new_keyframe(
+            [Observation(lm_id=7, z=np.asarray([160.0, 120.0]))])
+        assert eng.num_landmarks == 0
+        assert eng.num_pending_landmarks == 1
+        # KF 1 moves 1 m sideways (+x in camera coords): the re-sighting
+        # carries several degrees of parallax for a point at depth ~4.
+        pt_cam0 = np.asarray([0.0, 0.0, 4.0], np.float32)
+        pt_cam1 = pt_cam0 - np.asarray([1.0, 0.0, 0.0], np.float32)
+        z1 = np.asarray([
+            calib.fx * pt_cam1[0] / pt_cam1[2] + calib.cx,
+            calib.fy * pt_cam1[1] / pt_cam1[2] + calib.cy], np.float32)
+        odo = np.zeros(7, np.float32)
+        odo[3] = 1.0                       # identity rotation (w-first quat)
+        odo[0] = -1.0                      # T_new<-old: old origin at -1 x
+        eng.define_new_keyframe([Observation(lm_id=7, z=z1)],
+                                edge_init={0: odo})
+        assert eng.num_landmarks == 1      # materialized
+        assert eng.num_pending_landmarks == 0
+        assert eng.state.num_obs == 2      # both sightings replayed
 
 
 class TestGraphSlam:
