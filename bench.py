@@ -240,15 +240,21 @@ def bench_config5(K=5000):
     eng.fence()
     dt_inc = time.perf_counter() - t0
 
+    # Terminal recovery is the global PGO ALONE — measured round 4 on the
+    # 1000-KF repro: PGO-only ATE 0.27 (converged, idempotent) vs 1.1-2.2
+    # when a refine_map sweep runs before/after it.  Mono sweep windows
+    # carry a local scale gauge that block-coordinate refinement exploits
+    # (pixel error drops, global consistency doesn't), so map-parallel
+    # sweeps stay out of the monocular pipeline.
     t0 = time.perf_counter()
-    eng.refine_map(sweeps=1)
     G, info = eng.optimize_global()
     dt_ref = time.perf_counter() - t0
     ate = float(ate_rmse(G[:, :3], world.gt_poses[:, :3]))
     _report("config5_mono5k", K / dt_inc, ate,
-            f"incremental {dt_inc:.1f}s + refine+PGO {dt_ref:.1f}s, "
+            f"incremental {dt_inc:.1f}s + PGO {dt_ref:.1f}s, "
             f"{eng.state.num_edges} edges, {eng.num_landmarks} lms, "
-            f"PGO err {info['err_init']:.2e}->{info['err_final']:.2e}")
+            f"PGO err {info['err_init']:.2e}->{info['err_final']:.2e} "
+            f"conv={info.get('converged', 0):.0f}")
 
 
 # ---------------------------------------------------------------------------
@@ -282,16 +288,21 @@ def bench_pgo(K=20000):
                       for k in range(K)])
     nodes[0] = gt[0]
     prob = {"group": "SE3", "nodes": nodes, "edges": edges}
-    cfg = PGOConfig(group="SE3", max_outer=30, cg_iters=100)
+    # abs_tol: this synthetic's odometry noise (0.02/dim) floors the robust
+    # cost at ~1.3e-5/edge — certification must sit above the noise floor.
+    cfg = PGOConfig(group="SE3", max_outer=30, cg_iters=100,
+                    abs_tol_per_edge=2e-5)
     optimize_global_pose_graph(prob, cfg)      # warmup/compile
     t0 = time.perf_counter()
     G, info = optimize_global_pose_graph(prob, cfg)
     dt = time.perf_counter() - t0
     print(f"secondary global PGO: {K} nodes / {len(edges)} edges SE3 in "
-          f"{dt:.2f}s  err {info['err_init']:.2e}->{info['err_final']:.2e}",
+          f"{dt:.2f}s  err {info['err_init']:.2e}->{info['err_final']:.2e} "
+          f"converged={info['converged']:.0f} iters={info['iters']:.0f}",
           file=sys.stderr, flush=True)
     DETAIL.append({"config": "pgo20k", "seconds": round(dt, 2),
-                   "err_final": float(info["err_final"])})
+                   "err_final": float(info["err_final"]),
+                   "converged": float(info["converged"])})
 
 
 def main():

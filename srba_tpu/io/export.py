@@ -85,14 +85,21 @@ def get_global_graphslam_problem(engine, with_weights: bool = True) -> Dict:
     poses composed from the complete spanning tree, edges = all k2k edges as
     relative-pose constraints, ``edge_weights`` = per-edge information.
 
-    Per-edge information = observation support
-    (:func:`edge_observation_support`) scaled, for closure edges whose
-    bootstrap fit recorded a covariance (``state.k2k_sigma``), by the
-    measured fit quality ``(closure_prior_sigma / sigma)^2`` (clipped to
-    [0.05, 4]) — the scalar version of the reference's per-edge information
-    matrices from the local solver (``impl/get_global_graphslam_problem.h``,
-    public MRPT/srba layout).  Weak-but-accepted closures thus inform the
-    PGO proportionally instead of pulling with full weight."""
+    Per-edge information is sigma-based: edges whose closure-bootstrap fit
+    recorded a covariance (``state.k2k_sigma``) get
+    ``clip((closure_prior_sigma / sigma)^2, 0.05, 1)``; unmeasured edges
+    (odometry-grade chain links, strong closures) get 1 — the scalar
+    version of the reference's per-edge information matrices from the local
+    solver (``impl/get_global_graphslam_problem.h``, public MRPT/srba
+    layout).  Weak-but-accepted closures thus inform the PGO proportionally
+    instead of pulling with full weight.
+
+    Measured design note (round 4, 1000-KF mono repro): weighting by
+    observation-path support (round 3's proxy) over-weights chain edges
+    ~100x vs closures and leaves the loop under-corrected — post-PGO ATE
+    0.53 unconverged vs **0.29 converged** with near-uniform weights; the
+    per-edge support count remains available via
+    :func:`edge_observation_support` but no longer feeds the weights."""
     G, dist = engine.create_complete_spanning_tree(0)
     st = engine.state
     edges = []
@@ -108,14 +115,12 @@ def get_global_graphslam_problem(engine, with_weights: bool = True) -> Dict:
         "edges": edges,
     }
     if with_weights:
-        support = edge_observation_support(engine)
         sig = np.asarray(st.k2k_sigma[: st.num_edges], np.float64)
         s0 = float(engine.parameters.closure_prior_sigma)
-        scale = np.where(
+        out["edge_weights"] = np.where(
             sig > 0,
-            np.clip((s0 / np.maximum(sig, 1e-6)) ** 2, 0.05, 4.0),
-            1.0)
-        out["edge_weights"] = (support * scale).astype(np.float32)
+            np.clip((s0 / np.maximum(sig, 1e-6)) ** 2, 0.05, 1.0),
+            1.0).astype(np.float32)
     return out
 
 

@@ -63,6 +63,16 @@ class PGOConfig:
     # local optimum: rejects only raise lambda, and once several in a row
     # fail the iterate is a fixed point for any useful step size.
     max_consec_rejects: int = 3
+    # Absolute certification floor: mean robust cost per (valid) edge below
+    # this is converged regardless of relative progress.  The IRLS robust
+    # loss has a long geometric tail (measured: the 5k-node mono graph
+    # improves > rel_tol for 60+ iterations while err sits at ~3e-6/edge =
+    # millimeter-RMS residuals) — without a floor the solve burns its full
+    # iteration budget to certify nothing.  5e-6/edge ~= 2 mm RMS tangent
+    # residual at unit weight (measured sweep on the 5k mono graph: 5e-6
+    # certifies in 3 iters at ATE 0.822 vs 60 uncertified iters for 0.798).
+    # Raise it for graphs whose measurement noise floor is higher.
+    abs_tol_per_edge: float = 5e-6
     # Robust edge loss: pseudo-Huber with this tangent-norm scale (None =
     # quadratic).  Implemented as IRLS: each LM outer iteration re-weights
     # every edge by rho'(s) of its CURRENT whitened squared norm, so biased
@@ -190,6 +200,7 @@ def _make_pgo(cfg: PGOConfig):
         ``w`` carries validity (0 = padding edge) and constraint weight."""
         K = G0.shape[0]
         gauge_mask = jnp.ones((K,), G0.dtype).at[0].set(0.0)
+        err_floor = cfg.abs_tol_per_edge * _psum(jnp.sum(w > 0))
 
         def err_of(G):
             return _psum(jnp.sum(_robust_cost(_edge_sq(G, ea, eb, z, w))))
@@ -268,6 +279,7 @@ def _make_pgo(cfg: PGOConfig):
                 jnp.logical_and(accept, jnp.logical_not(improved)),
                 rej >= cfg.max_consec_rejects)
             err = jnp.where(accept, err_new, err)
+            done = jnp.logical_or(done, err <= err_floor)
             return (G, lam, err, it + 1, rej, done, cg_total + cg_used)
 
         def lm_cond(s):
@@ -284,7 +296,7 @@ def _make_pgo(cfg: PGOConfig):
         err0 = err_of(G0)
         init = (G0, jnp.asarray(cfg.lam0, G0.dtype), err0,
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-                jnp.asarray(False), jnp.asarray(0, jnp.int32))
+                err0 <= err_floor, jnp.asarray(0, jnp.int32))
         G, lam, err, it, rej, done, cg_total = jax.lax.while_loop(
             lm_cond, lm_body, init)
         # done=True means LM reached its relative-improvement fixed point;
