@@ -24,6 +24,14 @@ def build_parser() -> argparse.ArgumentParser:
                     "synthetic world.")
     src = p.add_argument_group("input")
     src.add_argument("--dataset", help="dataset text file (see io.dataset_io)")
+    src.add_argument("--pgo-g2o", metavar="FILE",
+                     help="standalone pose-graph mode: load a g2o text "
+                          "pose graph (VERTEX/EDGE SE2 or SE3:QUAT), run "
+                          "the TPU-native global PGO, print the error "
+                          "summary; write the optimized graph with "
+                          "--export-g2o.  Lets public benchmarks "
+                          "(sphere2500, manhattan, ...) drive the solver "
+                          "directly")
     src.add_argument("--gt-path", help="ground-truth poses file for ATE eval")
     src.add_argument("--synthetic", choices=["loop2d", "loop3d", "graphslam2d",
                                              "graphslam3d"],
@@ -202,8 +210,78 @@ def _synthetic(args):
     return world, ds, args.obs
 
 
+def _run_pgo_g2o(args) -> int:
+    """Standalone pose-graph mode (--pgo-g2o)."""
+    import json as _json
+    import time
+
+    import numpy as np
+
+    from srba_tpu.io.g2o import load_g2o
+    from srba_tpu.solver.global_graphslam import (PGOConfig,
+                                                  optimize_global_pose_graph)
+
+    prob = load_g2o(args.pgo_g2o)
+    K, E = len(prob["nodes"]), len(prob["edges"])
+    cfg = PGOConfig(group=prob["group"], chordal_init=True,
+                    robust_delta=(args.kernel_param / 10.0
+                                  if args.robust_kernel else None))
+    t0 = time.perf_counter()
+    G, info = optimize_global_pose_graph(prob, cfg)
+    dt = time.perf_counter() - t0
+    summary = {"group": prob["group"], "nodes": K, "edges": E,
+               "seconds": round(dt, 3),
+               "err_init": float(info["err_init"]),
+               "err_final": float(info["err_final"]),
+               "iters": int(info["iters"]),
+               "converged": int(info["converged"])}
+    print(_json.dumps(summary) if args.json else
+          f"PGO {prob['group']} {K} nodes / {E} edges: err "
+          f"{summary['err_init']:.3e} -> {summary['err_final']:.3e} in "
+          f"{summary['iters']} iters ({dt:.2f}s, "
+          f"converged={summary['converged']})")
+    if args.export_g2o:
+        # The engine exporter expects an engine object; emit inline here.
+        w = prob.get("edge_weights")
+        lines = []
+        if prob["group"] == "SE2":
+            for i, pp in enumerate(G):
+                lines.append(f"VERTEX_SE2 {i} {pp[0]:.9f} {pp[1]:.9f} "
+                             f"{pp[2]:.9f}")
+            for ei, e in enumerate(prob["edges"]):
+                r = e["rel_pose"]
+                we = float(w[ei]) if w is not None else 1.0
+                lines.append(
+                    f"EDGE_SE2 {e['from']} {e['to']} "
+                    f"{r[0]:.9f} {r[1]:.9f} {r[2]:.9f} "
+                    f"{we:.3f} 0 0 {we:.3f} 0 {we:.3f}")
+        else:
+            for i, pp in enumerate(G):
+                lines.append(
+                    f"VERTEX_SE3:QUAT {i} {pp[0]:.9f} {pp[1]:.9f} "
+                    f"{pp[2]:.9f} {pp[4]:.9f} {pp[5]:.9f} {pp[6]:.9f} "
+                    f"{pp[3]:.9f}")
+            iu = np.triu_indices(6)
+            for ei, e in enumerate(prob["edges"]):
+                r = e["rel_pose"]
+                we = float(w[ei]) if w is not None else 1.0
+                m = np.eye(6) * we
+                info_s = " ".join(f"{v:.3f}" for v in m[iu])
+                lines.append(
+                    f"EDGE_SE3:QUAT {e['from']} {e['to']} "
+                    f"{r[0]:.9f} {r[1]:.9f} {r[2]:.9f} "
+                    f"{r[4]:.9f} {r[5]:.9f} {r[6]:.9f} {r[3]:.9f} {info_s}")
+        with open(args.export_g2o, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"optimized graph written to {args.export_g2o}",
+              file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.pgo_g2o:
+        return _run_pgo_g2o(args)
     from srba_tpu.engine.engine import Observation
     from srba_tpu.io.checkpoint import load_checkpoint, save_checkpoint
     from srba_tpu.io.dataset_io import (load_dataset, load_ground_truth,

@@ -39,7 +39,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from srba_tpu.ops.np_lie import compose_path
+from srba_tpu.ops.np_lie import compose_path, quat_rotate
 
 
 def _kabsch(P: np.ndarray, Q: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -191,16 +191,40 @@ def _gn_solve(g, residual, T0, dof: int, iters: int = 25
 def _mono_pnp(engine, P: np.ndarray, Z: np.ndarray, T_seed: np.ndarray
               ) -> Tuple[Optional[np.ndarray], float, Optional[np.ndarray]]:
     """Multi-start damped Gauss-Newton PnP: returns
-    ``(T_new<-center, rms_px, JtJ)``.  Starts = seed composed with a yaw
-    grid (drift is predominantly yaw); ALL starts advance together in one
-    batched solve."""
+    ``(T_new<-center, rms_px, JtJ)``.  ALL starts advance together in one
+    batched solve.  Two start families:
+
+    * the SEED composed with a yaw grid (drift is predominantly yaw);
+    * the same rotations with the translation re-solved so the camera sits
+      at the voters' median range looking at their centroid ("look-at"
+      starts).  At large revisit drift the seed translation can put every
+      voter BEHIND the camera, where the saturated residual has zero
+      gradient and no amount of yaw-griding recovers (measured on the
+      5k-KF TPU run: over half the fits plateaued at the saturation value,
+      sigma ~1e9, and the run starved to 12 closures / ATE 5.5).  Look-at
+      starts guarantee in-front geometry, so a live gradient exists from
+      at least one basin regardless of how wrong the seed is.
+    """
     g = engine.np_group
     residual = _obs_residual_fn(engine, P, Z)
     yaws = np.deg2rad([0, 15, -15, 30, -30, 45, -45, 60, -60, 90, -90, 180])
     dv = np.zeros((len(yaws), 6))
     dv[:, 5] = yaws                     # yaw slot of the SE3 pseudo-log
-    T0 = g.retract(np.asarray(T_seed, np.float64)[None, :], dv)
-    T, rms, JtJ = _gn_solve_batched(g, residual, T0, 6)
+    T0 = g.retract(np.asarray(T_seed, np.float64)[None, :], dv)  # [S, 7]
+
+    # Look-at starts: keep each start's rotation, re-solve its translation
+    # so that the voter centroid projects onto the optical axis at the
+    # voters' median spread distance:  T·c = S_mount·[0, 0, d]  =>
+    # t = q_tgt − R_T·c.
+    c = P.mean(0)
+    d = float(np.median(np.linalg.norm(P - c, axis=-1))) + 2.0
+    q_tgt = g.apply(engine._sensor_pose.astype(np.float64),
+                    np.asarray([0.0, 0.0, d]))
+    T1 = T0.copy()
+    T1[:, :3] = q_tgt[None, :] - quat_rotate(T0[:, 3:], c[None, :])
+    T_all = np.concatenate([T0, T1], axis=0)
+
+    T, rms, JtJ = _gn_solve_batched(g, residual, T_all, 6)
     b = int(np.argmin(rms))
     return T[b], float(rms[b]), JtJ[b]
 

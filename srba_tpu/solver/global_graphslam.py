@@ -198,6 +198,12 @@ def _make_pgo(cfg: PGOConfig):
     def solve(G0, ea, eb, z, w):
         """Returns (G_opt, info).  Shapes: G0 [K,pd]; ea/eb/w [E]; z [E,pd].
         ``w`` carries validity (0 = padding edge) and constraint weight."""
+        # True-f32 contractions (TPU's default bf16-pass matmul noises the
+        # CG/Hv products; see the same pin in solver/lm.py).
+        with jax.default_matmul_precision("highest"):
+            return _solve_body(G0, ea, eb, z, w)
+
+    def _solve_body(G0, ea, eb, z, w):
         K = G0.shape[0]
         gauge_mask = jnp.ones((K,), G0.dtype).at[0].set(0.0)
         err_floor = cfg.abs_tol_per_edge * _psum(jnp.sum(w > 0))

@@ -352,6 +352,20 @@ def make_solver_impl(cfg: SolverConfig):
         return group.retract(edge_pose, dp), lmt.retract(lm_state, df)
 
     def solve(b: WindowBatch):
+        # Trace-time precision pin: TPU's default matmul path computes f32
+        # contractions as one bf16 pass with f32 accumulation (~3 decimal
+        # digits of input mantissa).  The normal equations / Schur products
+        # square the condition number, so bf16-grade products visibly noise
+        # the optimized state: landmark mirrors fed to the closure
+        # bootstrap drift, marginal fits flip to rejection, and the 5k-KF
+        # mono run starved (12 closures, ATE 5.5 on TPU vs 24 closures,
+        # ATE 0.8 for the bit-identical pipeline on CPU f32).  "highest"
+        # forces true-f32 (3-pass bf16) matmuls; the windows are small and
+        # HBM-bound, so the extra passes are latency-free in practice.
+        with jax.default_matmul_precision("highest"):
+            return _solve_body(b)
+
+    def _solve_body(b: WindowBatch):
         err0 = _error(b.edge_pose, b.lm_state, b)
 
         def cond(s):
@@ -410,7 +424,8 @@ def make_solver_impl(cfg: SolverConfig):
         return edge, lm, info
 
     def eval_error(b: WindowBatch):
-        return _error(b.edge_pose, b.lm_state, b)
+        with jax.default_matmul_precision("highest"):
+            return _error(b.edge_pose, b.lm_state, b)
 
     return solve, eval_error
 

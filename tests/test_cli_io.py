@@ -311,3 +311,22 @@ class TestCLI:
         assert out.returncode == 0, out.stderr[-2000:]
         summary = json.loads(out.stdout.strip().splitlines()[-1])
         assert summary["num_kfs"] == 8
+
+
+def test_cli_pgo_g2o_mode(tmp_path, capsys):
+    """Standalone pose-graph mode: g2o in -> PGO -> optimized g2o out."""
+    from tests.test_g2o import _write_sphere_g2o
+    from srba_tpu.io.g2o import load_g2o
+    from srba_tpu.utils.datasets import ate_rmse
+
+    src = str(tmp_path / "sphere.g2o")
+    out = str(tmp_path / "opt.g2o")
+    gt = _write_sphere_g2o(src, n_ring=20, n_rings=6)
+    rc = cli_main(["--pgo-g2o", src, "--export-g2o", out, "--json"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["converged"] == 1
+    assert summary["err_final"] < summary["err_init"]
+    opt = load_g2o(out)
+    ate = float(ate_rmse(opt["nodes"][:, :3], gt[:, :3]))
+    assert ate < 0.2, ate
