@@ -26,14 +26,17 @@ import numpy as np
 
 REF_KF_PER_SEC = 100.0  # stand-in; see module docstring / BASELINE.md
 
-# Per-config ATE bounds (meters).  Chosen as ~2x the values measured at
-# round 2 (so real regressions trip them, noise does not); see
-# BENCH_DETAIL.json history.
+# Per-config ATE bounds (meters), recalibrated round 4 to ~2x the values
+# measured on the real chip that round (config1 0.082, config2 0.091,
+# config3 0.184, config4 0.019, config5 0.869 — BENCH_DETAIL.json) so real
+# regressions trip them and noise does not.  config3/config5 keep their
+# long-standing accuracy targets (tighter than 2x): 0.25 and 1.0 are the
+# quality claims this project is held to, first reached in round 4.
 ATE_BOUNDS = {
-    "config1_rb2d": 0.10,
-    "config2_rb3d": 0.20,
+    "config1_rb2d": 0.16,
+    "config2_rb3d": 0.18,
     "config3_stereo": 0.25,
-    "config4_graphslam": 0.10,
+    "config4_graphslam": 0.04,
     "config5_mono5k": 1.00,
 }
 
