@@ -239,7 +239,12 @@ def bench_config5(K=5000):
         eng.define_new_keyframe(
             obs, edge_init={k - 1: ds.odometry[k - 1]} if k else None)
         if k and k % 1250 == 0:
-            eng.optimize_global()   # periodic global refinement
+            # Periodic global refinement, chordal included: skipping the
+            # chordal initializer on these warm-started calls was measured
+            # (round 4, 5k CPU) to cost 0.87 -> 1.13 final ATE — the
+            # periodic orientation fix keeps later closure fits strong —
+            # so the full solve runs here despite its extra compile.
+            eng.optimize_global()
     eng.fence()
     dt_inc = time.perf_counter() - t0
 

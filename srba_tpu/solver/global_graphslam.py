@@ -379,6 +379,7 @@ def optimize_global_pose_graph(problem: dict,
     nodes = np.asarray(problem["nodes"], np.float32)
     edges = problem["edges"]
     E = len(edges)
+    K = nodes.shape[0]
     if E == 0:
         return nodes, {"err_init": 0.0, "err_final": 0.0, "iters": 0,
                        "converged": 1}
@@ -390,18 +391,32 @@ def optimize_global_pose_graph(problem: dict,
     w = (np.ones(E, np.float32) if weights is None
          else np.asarray(weights, np.float32))
 
+    # Power-of-two shape buckets: a growing map calls this repeatedly
+    # (periodic global refinement) with a different (K, E) every time, and
+    # each distinct shape is a fresh XLA compile — measured 20-40 s each
+    # over the session tunnel, which made the periodic PGOs ~half of
+    # config#5's incremental wall time.  Padding nodes (edge-less: their
+    # damped diagonal is identity, delta exactly 0) and edges (weight 0)
+    # to buckets makes repeat calls hit the executable cache at O(log)
+    # distinct shapes per run.
+    Kp = max(256, 1 << (K - 1).bit_length())
+    Ep = max(256, 1 << (E - 1).bit_length())
+    if Kp != K:
+        pad_nodes = np.tile(nodes[:1] * 0, (Kp - K, 1))
+        if nodes.shape[1] == 7:
+            pad_nodes[:, 3] = 1.0        # identity quaternion
+        nodes = np.concatenate([nodes, pad_nodes])
     if mesh is not None:
         n_dev = int(np.prod(list(mesh.shape.values())))
-        Ep = ((E + n_dev - 1) // n_dev) * n_dev
-        if Ep != E:   # pad with weight-0 self-anchored edges
-            pad = Ep - E
-            ea = np.concatenate([ea, np.zeros(pad, np.int32)])
-            eb = np.concatenate([eb, np.zeros(pad, np.int32)])
-            z = np.concatenate([z, np.tile(z[:1], (pad, 1))])
-            w = np.concatenate([w, np.zeros(pad, np.float32)])
-        solve = make_pgo_spmd(cfg, mesh)
-    else:
-        solve = _make_pgo_jit(cfg)
+        Ep = ((Ep + n_dev - 1) // n_dev) * n_dev
+    if Ep != E:   # pad with weight-0 self-anchored edges
+        pad = Ep - E
+        ea = np.concatenate([ea, np.zeros(pad, np.int32)])
+        eb = np.concatenate([eb, np.zeros(pad, np.int32)])
+        z = np.concatenate([z, np.tile(z[:1], (pad, 1))])
+        w = np.concatenate([w, np.zeros(pad, np.float32)])
+    solve = make_pgo_spmd(cfg, mesh) if mesh is not None \
+        else _make_pgo_jit(cfg)
     ea_d, eb_d, z_d, w_d = (jnp.asarray(ea), jnp.asarray(eb),
                             jnp.asarray(z), jnp.asarray(w))
     G, info = solve(jnp.asarray(nodes), ea_d, eb_d, z_d, w_d)
@@ -427,4 +442,4 @@ def optimize_global_pose_graph(problem: dict,
     G = jax.device_get(G)
     out = {k: float(v) for k, v in info.items()}
     out.update(err_init=err0, iters=iters, escalations=float(esc))
-    return np.asarray(G), out
+    return np.asarray(G)[:K], out
