@@ -124,3 +124,36 @@ def test_engine_optimize_global_improves_map():
         [Observation(lm_id=eng.num_keyframes - 1,
                      z=ds.odometry[-1])],
         edge_init={eng.num_keyframes - 1: ds.odometry[-1]})
+
+
+def test_pgo_shape_bucketing_reuses_compiles():
+    """Growing-map periodic PGO calls must hit the executable cache:
+    problems whose (node, edge) counts round to the same power-of-two
+    buckets compile exactly once (round 4: each distinct shape was a fresh
+    20-40 s compile over the session TPU tunnel)."""
+    from srba_tpu.ops.np_lie import NpSE2
+    from srba_tpu.solver.global_graphslam import (PGOConfig, _make_pgo_jit,
+                                                  optimize_global_pose_graph)
+
+    rng = np.random.default_rng(3)
+
+    def chain_problem(K):
+        th = np.linspace(0, 2, K).astype(np.float32)
+        gt = np.stack([np.stack([np.cos(t), np.sin(t), t]) for t in th])
+        edges = [{"from": k - 1, "to": k,
+                  "rel_pose": NpSE2.compose(NpSE2.inverse(gt[k - 1]), gt[k])}
+                 for k in range(1, K)]
+        nodes = gt + rng.normal(0, 0.01, gt.shape).astype(np.float32)
+        nodes[0] = gt[0]
+        return {"group": "SE2", "nodes": nodes, "edges": edges}
+
+    cfg = PGOConfig(group="SE2", max_outer=5, cg_iters=10)
+    jitted = _make_pgo_jit(cfg)
+    base = jitted._cache_size()
+    # 300 and 400 nodes both bucket to 512 nodes / 512 edges.
+    for K in (300, 400):
+        G, info = optimize_global_pose_graph(chain_problem(K), cfg)
+        assert G.shape == (K, 3)          # padding sliced back off
+        assert np.isfinite(info["err_final"])
+    assert jitted._cache_size() == base + 1, (
+        "same-bucket problems must share one compiled program")
