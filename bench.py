@@ -162,7 +162,8 @@ def bench_config3(K=500):
             ecp=LocalAreasFixedGrid(submap_size=10,
                                     min_obs_count_loop_closure=5),
             params=SrbaParams(max_tree_depth=4, max_optimize_depth=3,
-                              extra_obs_per_lm_cap=6))
+                              extra_obs_per_lm_cap=6,
+                              incremental_max_iters=3))
         return eng, _drive(eng, ds)
 
     run()

@@ -422,6 +422,11 @@ def main(argv=None) -> int:
             save_scene_json(scene, args.export_scene_json)
     if args.profile_stats:
         print(eng.profiler.report(), file=sys.stderr)
+        if eng.device_master is not None:
+            s = eng.device_master.sync_stats
+            print(f"mirror syncs: {s['pf_hit']} prefetch-hits "
+                  f"({s['pf_hit_s']:.3f}s blocked) / {s['miss']} "
+                  f"blocking fetches ({s['miss_s']:.3f}s)", file=sys.stderr)
 
     if args.json:
         print(json.dumps(summary))

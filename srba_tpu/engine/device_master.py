@@ -121,6 +121,10 @@ class DeviceMaster:
         self.step_seq = 0
         self.mirror_seq = 0
         self._prefetch = None       # (pose_buf, lm_buf, n_e, n_l, seq)
+        # Mirror-sync accounting (prefetch hit vs blocking-fetch miss, with
+        # blocked seconds) — surfaced in the engine's --profile-stats table.
+        self.sync_stats = {"pf_hit": 0, "pf_hit_s": 0.0,
+                           "miss": 0, "miss_s": 0.0}
         # Device-resident per-engine operands (uploaded once on first step).
         self._whitener_dev = None
         self._spinv_dev = None
@@ -192,19 +196,23 @@ class DeviceMaster:
 
     def step(self, cfg, whitener, sensor_pose_inv, calib,
              edge_ids, edge_opt, lm_ids, lm_opt, obs_lm, obs_valid,
-             path_edge, path_sign, obs_z) -> LazyInfo:
+             path_edge, path_sign, obs_z, iters_cap: int = 0) -> LazyInfo:
         """Append staged rows + solve one window, all in one dispatch.
         Exactly TWO host->device uploads per keyframe (one f32 buffer, one
-        i32 buffer) — each device_put costs ~0.3 ms over the tunnel."""
+        i32 buffer) — each device_put costs ~0.3 ms over the tunnel.
+        ``iters_cap`` (0 = config max) is a RUNTIME LM iteration cap rode
+        along in the int buffer — no recompile per value."""
         import jax.numpy as jnp
 
         rows, offsets, pad_e, pad_l = self._take_staging()
         ints = pack_window_ints(edge_ids, edge_opt, lm_ids, lm_opt,
                                 obs_lm, obs_valid, path_edge, path_sign)
         obs_z = np.asarray(obs_z, np.float32)
+        cap = np.asarray([iters_cap if iters_cap > 0 else cfg.max_iters],
+                         np.int32)
         wire = np.concatenate([
             rows, obs_z.ravel(),
-            np.concatenate([offsets, ints]).view(np.float32)])
+            np.concatenate([offsets, cap, ints]).view(np.float32)])
         if self._whitener_dev is None:
             import jax
             self._whitener_dev = jnp.asarray(whitener, jnp.float32)
@@ -295,23 +303,30 @@ class DeviceMaster:
         target = max(self.step_seq - max_age, min_seq)
         if self.mirror_seq >= target:
             return
+        import time as _time
         pf = self._prefetch
         if pf is not None:
             pose_b, lm_b, n_e, n_l, seq = pf
             if seq > self.mirror_seq and seq >= target:
                 # copy_to_host_async already landed (or nearly): np.asarray
                 # blocks only for the remainder of the transfer.
+                t0 = _time.perf_counter()
                 k2k_pose[:n_e] = np.asarray(pose_b)[:n_e]
                 lm_state[:n_l] = np.asarray(lm_b)[:n_l]
+                self.sync_stats["pf_hit"] += 1
+                self.sync_stats["pf_hit_s"] += _time.perf_counter() - t0
                 self.mirror_seq = seq
                 self._prefetch = None
                 return
         import jax
+        t0 = _time.perf_counter()
         n_e, n_l = self.num_edges, self.num_lms
         b_e, b_l = self._live_buckets()
         pose, lm = jax.device_get((self.pose[:b_e], self.lm[:b_l]))
         k2k_pose[:n_e] = pose[:n_e]
         lm_state[:n_l] = lm[:n_l]
+        self.sync_stats["miss"] += 1
+        self.sync_stats["miss_s"] += _time.perf_counter() - t0
         self.mirror_seq = self.step_seq
         self._prefetch = None
 

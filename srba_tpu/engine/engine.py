@@ -111,6 +111,16 @@ class SrbaParams:
     closure_reverify_band: float = 2.0
     # LM solver knobs
     max_iters: int = 20
+    # Iteration cap for ORDINARY per-keyframe incremental steps (runtime
+    # scalar — same compiled program as the full budget).  Incremental
+    # windows overlap across keyframes, so each frame only needs to pull
+    # the new edge into the basin; later frames finish the polish (the
+    # iSAM-style argument).  Closure-refinement frames and explicit
+    # optimize_local_area / optimize_edges calls always run `max_iters`.
+    # Measured (config#3 stereo, 500 KF, real TPU): mean 15.2 iters/step
+    # with cap=20 vs cap=5 at identical final ATE — the surplus was pure
+    # device-queue backlog that every mirror sync then had to drain.
+    incremental_max_iters: int = 5
     lam0: float = 1e-4
     rel_tol: float = 1e-6
     # Solver engine selector (reference: solver_LM_* options):
@@ -250,9 +260,6 @@ class SrbaEngine:
         # consistently by dead-reckoned increments in between.
         self._seed_cache = None
         self._seed_cache_max_age = 25
-        # Frames left to keep async host-mirror prefetches in flight after
-        # the last closure-voting frame (see define_new_keyframe).
-        self._prefetch_countdown = 0
         # Area centers whose last closure fit hard-rejected: center -> first
         # keyframe id allowed to retry (SrbaParams.closure_retry_cooldown).
         self._closure_cooldown: Dict[int, int] = {}
@@ -642,18 +649,14 @@ class SrbaEngine:
                     if closure_created:
                         depth = max(depth, self.parameters.max_tree_depth)
                     info.optimize_results = self.optimize_local_area(
-                        kf_id, depth)
+                        kf_id, depth,
+                        _iters_cap=(0 if closure_created else
+                                    self.parameters.incremental_max_iters))
             elif self.device_master is not None:
                 # No solve this frame: still push staged rows to the device
                 # masters so they stay authoritative.
                 self.device_master.flush_append()
 
-            # Closure-vote frames foreshadow more closure-vote frames
-            # (revisits are contiguous): keep an async host-mirror prefetch
-            # in flight for a few frames past the last vote so the next
-            # bootstrap's stale-tolerant sync never blocks on the tunnel.
-            if closure_targets:
-                self._prefetch_countdown = 4
             if self.device_master is not None:
                 if closure_created:
                     # The refinement step just dispatched moved the map
@@ -662,8 +665,15 @@ class SrbaEngine:
                     self._closure_barrier_seq = self.device_master.step_seq
                     self.device_master.maybe_prefetch(
                         self.parameters.closure_mirror_max_age, force=True)
-                elif self._prefetch_countdown > 0:
-                    self._prefetch_countdown -= 1
+                else:
+                    # Steady async prefetch cadence (internally throttled to
+                    # every max_age/2 steps; starting a copy costs ~0.35 ms):
+                    # every stale-tolerant consumer — the closure bootstrap
+                    # AND the every-25-KF closure-seed spanning-tree rebuild
+                    # — consumes an already-landed copy instead of a
+                    # blocking fetch that must first drain the async solve
+                    # queue (measured 220 ms/rebuild on config#3, 51% of
+                    # the per-KF budget, before this cadence existed).
                     self.device_master.maybe_prefetch(
                         self.parameters.closure_mirror_max_age)
         if self.parameters.verbose >= 1:
@@ -819,8 +829,8 @@ class SrbaEngine:
 
     def optimize_local_area(self, root_kf: int,
                             win_size: Optional[int] = None,
-                            restrict_edges=None, restrict_lms=None
-                            ) -> Dict[str, float]:
+                            restrict_edges=None, restrict_lms=None,
+                            _iters_cap: int = 0) -> Dict[str, float]:
         """BFS window around ``root_kf`` -> padded batch -> jitted LM+Schur
         -> write back (reference ``optimize_local_area``).  With
         ``restrict_edges`` / ``restrict_lms`` (sets of global ids) the
@@ -872,7 +882,8 @@ class SrbaEngine:
                     self.calib,
                     arrays.edge_gids, arrays.edge_opt, arrays.lm_gids,
                     arrays.lm_opt, arrays.obs_lm, arrays.obs_valid,
-                    arrays.path_edge, arrays.path_sign, arrays.obs_z)
+                    arrays.path_edge, arrays.path_sign, arrays.obs_z,
+                    iters_cap=_iters_cap)
 
         with self.profiler.scope("device_solve"):
             if self.mesh is not None:
@@ -957,25 +968,30 @@ class SrbaEngine:
 
         ``_mirror_max_age`` is internal (closure seed cache): public callers
         always get an exact, current-state tree."""
-        self.sync(max_age=_mirror_max_age)
-        dist, parent = self.graph.complete_spanning_tree(root)
+        with self.profiler.scope("spantree_sync"):
+            self.sync(max_age=_mirror_max_age)
+        with self.profiler.scope("spantree_bfs"):
+            dist, parent = self.graph.complete_spanning_tree(root)
         G = np.zeros((self.state.num_kfs, self.group.dim), np.float32)
         G[root] = self.np_group.identity()
         # Group nodes by BFS depth, then batch-compose level by level.
-        by_level: Dict[int, List[int]] = {}
-        for n, d in dist.items():
-            if n != root:
-                by_level.setdefault(d, []).append(n)
-        for d in sorted(by_level):
-            nodes = np.asarray(by_level[d], np.int32)
-            ps = np.asarray([parent[int(n)][0] for n in nodes], np.int32)
-            eids = np.asarray([parent[int(n)][1] for n in nodes], np.int32)
-            ea = self.state.k2k_from[eids]
-            steps = self.state.k2k_pose[eids].copy()
-            rev = ea != ps        # edge stored (a,b): reversed when a != p
-            if rev.any():
-                steps[rev] = self.np_group.inverse(steps[rev])
-            G[nodes] = self.np_group.compose(G[ps], steps).astype(np.float32)
+        with self.profiler.scope("spantree_compose"):
+            by_level: Dict[int, List[int]] = {}
+            for n, d in dist.items():
+                if n != root:
+                    by_level.setdefault(d, []).append(n)
+            for d in sorted(by_level):
+                nodes = np.asarray(by_level[d], np.int32)
+                ps = np.asarray([parent[int(n)][0] for n in nodes], np.int32)
+                eids = np.asarray([parent[int(n)][1] for n in nodes],
+                                  np.int32)
+                ea = self.state.k2k_from[eids]
+                steps = self.state.k2k_pose[eids].copy()
+                rev = ea != ps    # edge stored (a,b): reversed when a != p
+                if rev.any():
+                    steps[rev] = self.np_group.inverse(steps[rev])
+                G[nodes] = self.np_group.compose(G[ps],
+                                                 steps).astype(np.float32)
         return G, dist
 
     def bfs_visitor(self, root: int, max_depth: int, kf_visitor=None,

@@ -71,6 +71,15 @@ class WindowBatch:
     # not, each choice is its own jit specialization).
     edge_prior: Any = None       # [E, pose_dim] or None
     edge_prior_w: Any = None     # [E] information weight (0 = no prior)
+    # Optional RUNTIME iteration cap (scalar int32; None = cfg.max_iters).
+    # Same compiled program serves both regimes: steady-state incremental
+    # steps run a few iterations (windows overlap across keyframes, so the
+    # next frames finish the polish — the iSAM-style argument), while
+    # closure-refinement frames and explicit optimize_edges calls run the
+    # full budget.  Measured on config#3 (stereo 500 KF): mean 15.2
+    # iters/step with a third of steps hitting the 20-cap, for identical
+    # final ATE as cap=4 — pure device-queue backlog.
+    iters_cap: Any = None        # scalar int32 or None
 
 
 @dataclass(frozen=True)
@@ -367,10 +376,12 @@ def make_solver_impl(cfg: SolverConfig):
 
     def _solve_body(b: WindowBatch):
         err0 = _error(b.edge_pose, b.lm_state, b)
+        it_cap = (cfg.max_iters if b.iters_cap is None
+                  else jnp.minimum(b.iters_cap, cfg.max_iters))
 
         def cond(s):
             edge, lm, lam, err, it, rej, done, neqs = s
-            return jnp.logical_and(jnp.logical_not(done), it < cfg.max_iters)
+            return jnp.logical_and(jnp.logical_not(done), it < it_cap)
 
         def body(s):
             edge, lm, lam, err, it, rej, done, neqs = s

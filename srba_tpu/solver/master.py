@@ -100,7 +100,8 @@ def make_master_step(cfg: SolverConfig):
         ints_all = jax.lax.bitcast_convert_type(
             wire[rows_len + N * z_dim:], jnp.int32)
         offsets = ints_all[:2]
-        ints = ints_all[2:]
+        iters_cap = ints_all[2]   # runtime LM iteration cap (see WindowBatch)
+        ints = ints_all[3:]
 
         # -- append this keyframe's new rows into the masters --------------
         if pad_e:
@@ -148,7 +149,8 @@ def make_master_step(cfg: SolverConfig):
             path_edge=path_edge, path_sign=path_sign, obs_valid=obs_valid,
             whitener=whitener, sensor_pose_inv=sensor_pose_inv, calib=calib,
             edge_prior=prior_rows[:, :pose_dim],
-            edge_prior_w=prior_rows[:, pose_dim])
+            edge_prior_w=prior_rows[:, pose_dim],
+            iters_cap=iters_cap)
         new_edge, new_lm, info = solve_impl(batch)
 
         # -- scatter optimized values back (masked deltas: pad slots add 0) -
