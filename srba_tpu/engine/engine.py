@@ -117,10 +117,15 @@ class SrbaParams:
     # the new edge into the basin; later frames finish the polish (the
     # iSAM-style argument).  Closure-refinement frames and explicit
     # optimize_local_area / optimize_edges calls always run `max_iters`.
-    # Measured (config#3 stereo, 500 KF, real TPU): mean 15.2 iters/step
-    # with cap=20 vs cap=5 at identical final ATE — the surplus was pure
-    # device-queue backlog that every mirror sync then had to drain.
-    incremental_max_iters: int = 5
+    # Measured (real TPU): config#3 stereo 500 KF averaged 15.2 iters/step
+    # uncapped (a third hitting the 20-cap) — pure device-queue backlog
+    # that every mirror sync then drained; cap 3 gives the same ATE at
+    # +40% KF/s.  The 5k-KF mono run is the cap-sensitive extreme (drift
+    # between closures compounds): ATE 0.86/0.87/1.18 at cap 20/10/5 —
+    # 10 is the largest value that still cuts the backlog without moving
+    # accuracy, hence the default; short/landmark-dense maps can safely
+    # run lower (bench config#3 uses 3).
+    incremental_max_iters: int = 10
     lam0: float = 1e-4
     rel_tol: float = 1e-6
     # Solver engine selector (reference: solver_LM_* options):

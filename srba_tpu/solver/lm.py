@@ -77,8 +77,9 @@ class WindowBatch:
     # next frames finish the polish — the iSAM-style argument), while
     # closure-refinement frames and explicit optimize_edges calls run the
     # full budget.  Measured on config#3 (stereo 500 KF): mean 15.2
-    # iters/step with a third of steps hitting the 20-cap, for identical
-    # final ATE as cap=4 — pure device-queue backlog.
+    # iters/step uncapped with a third of steps hitting the 20-cap, equal
+    # final ATE down to cap=3 — the surplus was pure device-queue backlog
+    # (cap policy + per-config numbers: SrbaParams.incremental_max_iters).
     iters_cap: Any = None        # scalar int32 or None
 
 
