@@ -245,7 +245,10 @@ def bench_config5(K=5000):
             # (round 4, 5k CPU) to cost 0.87 -> 1.13 final ATE — the
             # periodic orientation fix keeps later closure fits strong —
             # so the full solve runs here despite its extra compile.
-            eng.optimize_global()
+            # periodic=True: diminishing-returns certification + warm
+            # lambda (round 4's KF-2500/3750 refinements burned 60+ iters
+            # uncertified under the terminal tolerance).
+            eng.optimize_global(periodic=True)
     eng.fence()
     dt_inc = time.perf_counter() - t0
 
@@ -264,6 +267,42 @@ def bench_config5(K=5000):
             f"{eng.state.num_edges} edges, {eng.num_landmarks} lms, "
             f"PGO err {info['err_init']:.2e}->{info['err_final']:.2e} "
             f"conv={info.get('converged', 0):.0f}")
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel equivalence (on-chip, once per round)
+# ---------------------------------------------------------------------------
+
+def bench_pallas_check(B=8192, d=6):
+    """Equivalence-check the Pallas SPD-inverse against the unrolled default
+    ON CHIP (VERDICT r4 next #7: the Pallas variant is CPU-skipped in the
+    suite, so without this it would never run in any recorded environment —
+    a latent-bitrot liability)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srba_tpu.ops.block_linalg import (spd_inverse_pallas,
+                                           spd_inverse_unrolled)
+
+    plat = jax.devices()[0].platform
+    if plat == "cpu":
+        print("pallas check: skipped (no TPU)", file=sys.stderr, flush=True)
+        return
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(B, d, d)).astype(np.float32)
+    m = jnp.asarray(A @ A.transpose(0, 2, 1)
+                    + d * np.eye(d, dtype=np.float32))
+    ref = np.asarray(jax.device_get(spd_inverse_unrolled(m)))
+    pal = np.asarray(jax.device_get(spd_inverse_pallas(m)))
+    err = float(np.max(np.abs(ref - pal)))
+    ok = bool(np.isfinite(err) and err < 1e-3)
+    flag = "" if ok else "  *** PALLAS-EQUIVALENCE-VIOLATED ***"
+    print(f"pallas spd_inverse [{B},{d},{d}] on {plat}: "
+          f"max|unrolled-pallas| = {err:.2e}{flag}",
+          file=sys.stderr, flush=True)
+    DETAIL.append({"config": "pallas_spd_inverse_equiv", "max_abs_err": err,
+                   "ok": ok, "platform": plat})
+    assert ok, f"Pallas SPD inverse diverged from unrolled: {err}"
 
 
 # ---------------------------------------------------------------------------
@@ -329,8 +368,8 @@ def main():
         "vs_baseline": round(kf_per_sec / REF_KF_PER_SEC if ok1 else 0.0, 3),
     }), flush=True)
 
-    for fn in (bench_config2, bench_config3, bench_config4, bench_config5,
-               bench_pgo):
+    for fn in (bench_pallas_check, bench_config2, bench_config3,
+               bench_config4, bench_config5, bench_pgo):
         try:
             fn()
         except Exception as ex:   # secondary benches must never kill this

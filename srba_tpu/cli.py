@@ -72,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
                       default="classic_linear_rba")
     srba.add_argument("--submap-size", type=int, default=10)
     srba.add_argument("--min-obs-loop-closure", type=int, default=4)
+    srba.add_argument("--min-obs-join", type=int, default=3,
+                      help="local_areas_var1: votes needed to join an area")
     srba.add_argument("--obs-noise-std", type=float, default=1.0,
                       help="observation noise sigma for whitening")
     srba.add_argument("--obs-noise-cov",
@@ -164,7 +166,8 @@ def _make_engine(args, obs_model):
         "local_areas_fixed_grid": lambda: LocalAreasFixedGrid(
             args.submap_size, args.min_obs_loop_closure),
         "local_areas_var1": lambda: LocalAreasVar1(
-            args.submap_size, args.min_obs_loop_closure),
+            min_obs_to_join=args.min_obs_join,
+            min_obs_count_loop_closure=args.min_obs_loop_closure),
     }[args.ecp]()
     params = SrbaParams(
         max_tree_depth=args.max_tree_depth,

@@ -112,11 +112,13 @@ class SrbaParams:
     # LM solver knobs
     max_iters: int = 20
     # Iteration cap for ORDINARY per-keyframe incremental steps (runtime
-    # scalar — same compiled program as the full budget).  Incremental
-    # windows overlap across keyframes, so each frame only needs to pull
-    # the new edge into the basin; later frames finish the polish (the
-    # iSAM-style argument).  Closure-refinement frames and explicit
-    # optimize_local_area / optimize_edges calls always run `max_iters`.
+    # scalar — same compiled program as the full budget; applies to every
+    # backend: device-master, host, and mesh/SPMD).  Incremental windows
+    # overlap across keyframes, so each frame only needs to pull the new
+    # edge into the basin; later frames finish the polish (the iSAM-style
+    # argument).  Closure-ACTIVE frames (edge created OR voted, even if the
+    # fit deferred) and explicit optimize_local_area / optimize_edges calls
+    # always run `max_iters`.
     # Measured (real TPU): config#3 stereo 500 KF averaged 15.2 iters/step
     # uncapped (a third hitting the 20-cap) — pure device-queue backlog
     # that every mirror sync then drained; cap 3 gives the same ATE at
@@ -653,9 +655,15 @@ class SrbaEngine:
                     depth = self.parameters.max_optimize_depth
                     if closure_created:
                         depth = max(depth, self.parameters.max_tree_depth)
+                    # Closure-ACTIVE frames (an edge was created OR the ECP
+                    # voted one, even if the fit deferred/weak-cached) run
+                    # the full budget: a deferred fit that materializes via
+                    # flush_pending_closures must not find its surrounding
+                    # window only ever polished at the capped budget.
+                    closure_active = closure_created or bool(closure_targets)
                     info.optimize_results = self.optimize_local_area(
                         kf_id, depth,
-                        _iters_cap=(0 if closure_created else
+                        _iters_cap=(0 if closure_active else
                                     self.parameters.incremental_max_iters))
             elif self.device_master is not None:
                 # No solve this frame: still push staged rows to the device
@@ -891,6 +899,12 @@ class SrbaEngine:
                     iters_cap=_iters_cap)
 
         with self.profiler.scope("device_solve"):
+            # Runtime LM iteration cap (same semantics as the device-master
+            # path: 0 = full budget).  A scalar leaf, so capped vs uncapped
+            # are two jit specializations per backend — each engine mode
+            # settles into one steady shape after warmup.
+            cap = (np.asarray(_iters_cap, np.int32)
+                   if _iters_cap > 0 else None)
             if self.mesh is not None:
                 # SPMD path: keep every leaf an UNCOMMITTED host array
                 # (numpy) — in multi-process runs JAX places per-device
@@ -909,6 +923,7 @@ class SrbaEngine:
                     calib=self._calib_np,
                     edge_prior=arrays.edge_prior,
                     edge_prior_w=arrays.edge_prior_w,
+                    iters_cap=cap,
                 )
                 solve, _ = make_spmd_solver(self._solver_cfg, self.mesh)
             else:
@@ -927,6 +942,7 @@ class SrbaEngine:
                     calib=self.calib,
                     edge_prior=jnp.asarray(arrays.edge_prior),
                     edge_prior_w=jnp.asarray(arrays.edge_prior_w),
+                    iters_cap=(None if cap is None else jnp.asarray(cap)),
                 )
                 solve, _ = get_solver(self._solver_cfg)
             edge_pose, lm_state, dev_info = solve(batch)
@@ -1181,17 +1197,31 @@ class SrbaEngine:
                              jax.device_get(dev_info).items()})
         return info_out
 
-    def optimize_global(self, cfg=None, write_back: bool = True, mesh=None):
+    def optimize_global(self, cfg=None, write_back: bool = True, mesh=None,
+                        periodic: bool = False):
         """Global pose-graph optimization over ALL kf2kf edges — the
         in-framework replacement for the reference's export-to-MRPT-graphslam
         path (``get_global_graphslam_problem`` consumed by an external
         optimizer; here it is consumed by the TPU-native matrix-free LM-PCG
         of :mod:`srba_tpu.solver.global_graphslam`).
 
+        ``periodic`` marks a MID-RUN refinement (a growing map re-optimized
+        every N keyframes): certification switches to a scale-free
+        diminishing-returns stop (``rel_tol`` 1e-3 — the robust IRLS
+        re-weighting gives warm maps a geometric improvement tail that
+        stays above the terminal 1e-5 tolerance for 60+ iterations while
+        the iterate has long stopped moving; measured round 4, config#5's
+        KF-2500/3750 refinements burned the full budget + escalation and
+        exited uncertified) and the LM damping warm-starts from the
+        previous periodic solve's final lambda (a runtime operand — no
+        recompile).  Terminal calls keep the strict tolerance.
+
         Returns ``(G_opt [K, pose_dim], info)``.  With ``write_back`` the
         relative edge poses are re-derived from the optimized globals
         (``T_a<-b = inv(G_a) ∘ G_b``) so subsequent incremental operation
         continues from the globally consistent map."""
+        import dataclasses as _dc
+
         from srba_tpu.io.export import get_global_graphslam_problem
         from srba_tpu.solver.global_graphslam import \
             optimize_global_pose_graph
@@ -1213,7 +1243,14 @@ class SrbaEngine:
             # matrices.
             cfg = PGOConfig(group=self.group.name, chordal_init=True,
                             robust_delta=0.1)
-        G_opt, info = optimize_global_pose_graph(prob, cfg, mesh=mesh)
+        lam0 = None
+        if periodic:
+            cfg = _dc.replace(cfg, rel_tol=1e-3)
+            lam0 = getattr(self, "_pgo_warm_lam", None)
+        G_opt, info = optimize_global_pose_graph(prob, cfg, mesh=mesh,
+                                                 lam0=lam0)
+        if periodic:
+            self._pgo_warm_lam = float(info.get("lam", cfg.lam0))
         if write_back and self.state.num_edges:
             a = self.state.k2k_from[: self.state.num_edges]
             b = self.state.k2k_to[: self.state.num_edges]

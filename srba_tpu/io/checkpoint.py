@@ -86,16 +86,21 @@ def _encode_ecp(ecp):
             f"cannot serialize custom edge-creation policy "
             f"{type(ecp).__name__}; pass ecp= explicitly on resume")
     out = {"name": name}
-    for k in ("submap_size", "min_obs_count_loop_closure"):
+    for k in ("submap_size", "min_obs_count_loop_closure", "min_obs_to_join"):
         if hasattr(ecp, k):
             out[k] = int(getattr(ecp, k))
+    if hasattr(ecp, "get_state"):   # stateful policy (LocalAreasVar1)
+        out["state"] = ecp.get_state()
     return out
 
 
 def _decode_ecp(enc):
     from srba_tpu.ecps import ECPS
-    kw = {k: v for k, v in enc.items() if k != "name"}
-    return ECPS[enc["name"]](**kw)
+    kw = {k: v for k, v in enc.items() if k not in ("name", "state")}
+    ecp = ECPS[enc["name"]](**kw)
+    if "state" in enc and hasattr(ecp, "set_state"):
+        ecp.set_state(enc["state"])
+    return ecp
 
 
 def save_checkpoint(engine, path: str) -> None:

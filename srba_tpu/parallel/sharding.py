@@ -52,6 +52,7 @@ def _batch_specs(batch: WindowBatch):
         calib=calib_spec,
         edge_prior=None if batch.edge_prior is None else repl,
         edge_prior_w=None if batch.edge_prior_w is None else repl,
+        iters_cap=None if batch.iters_cap is None else repl,
     )
 
 

@@ -195,15 +195,18 @@ def _make_pgo(cfg: PGOConfig):
 
         return JT, Hv, block_diag
 
-    def solve(G0, ea, eb, z, w):
-        """Returns (G_opt, info).  Shapes: G0 [K,pd]; ea/eb/w [E]; z [E,pd].
-        ``w`` carries validity (0 = padding edge) and constraint weight."""
+    def solve(G0, ea, eb, z, w, lam0):
+        """Returns (G_opt, info).  Shapes: G0 [K,pd]; ea/eb/w [E]; z [E,pd];
+        ``lam0`` a scalar f32 — the LM damping warm start (a RUNTIME operand,
+        not config: periodic refinements and escalations restart from the
+        previous solve's final lambda without a recompile).  ``w`` carries
+        validity (0 = padding edge) and constraint weight."""
         # True-f32 contractions (TPU's default bf16-pass matmul noises the
         # CG/Hv products; see the same pin in solver/lm.py).
         with jax.default_matmul_precision("highest"):
-            return _solve_body(G0, ea, eb, z, w)
+            return _solve_body(G0, ea, eb, z, w, lam0)
 
-    def _solve_body(G0, ea, eb, z, w):
+    def _solve_body(G0, ea, eb, z, w, lam0):
         K = G0.shape[0]
         gauge_mask = jnp.ones((K,), G0.dtype).at[0].set(0.0)
         err_floor = cfg.abs_tol_per_edge * _psum(jnp.sum(w > 0))
@@ -300,7 +303,7 @@ def _make_pgo(cfg: PGOConfig):
                                         axis_name=cfg.axis_name)
             G0 = chordal(G0, ea, eb, z, w)
         err0 = err_of(G0)
-        init = (G0, jnp.asarray(cfg.lam0, G0.dtype), err0,
+        init = (G0, jnp.asarray(lam0, G0.dtype).reshape(()), err0,
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                 err0 <= err_floor, jnp.asarray(0, jnp.int32))
         G, lam, err, it, rej, done, cg_total = jax.lax.while_loop(
@@ -345,7 +348,7 @@ def make_pgo_spmd(cfg: PGOConfig, mesh):
                                     "cg_iters_total", "converged")}
     fn = jax.jit(jax.shard_map(
         solve, mesh=mesh,
-        in_specs=(repl, P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(repl, P(axis), P(axis), P(axis), P(axis), repl),
         out_specs=(repl, info_specs),
         check_vma=False))
     _SPMD_PGO_CACHE[key] = fn
@@ -355,7 +358,8 @@ def make_pgo_spmd(cfg: PGOConfig, mesh):
 def optimize_global_pose_graph(problem: dict,
                                cfg: PGOConfig | None = None,
                                weights: np.ndarray | None = None,
-                               mesh=None, max_escalations: int = 1):
+                               mesh=None, max_escalations: int = 1,
+                               lam0: float | None = None):
     """Optimize an exported global pose-graph problem (the dict produced by
     :func:`srba_tpu.io.export.get_global_graphslam_problem`).
 
@@ -364,11 +368,14 @@ def optimize_global_pose_graph(problem: dict,
     ``mesh``, the edge tables are sharded over its (single) axis.
 
     ``weights`` [E]: per-edge information (defaults to the problem's own
-    ``edge_weights`` when the exporter provided them, else 1.0).  When LM
-    exits at the iteration cap unconverged, the solve is re-entered from the
-    current iterate up to ``max_escalations`` times (same compiled program —
-    the warm restart costs no new compile) and a loud warning is printed if
-    it STILL has not converged.
+    ``edge_weights`` when the exporter provided them, else 1.0).  ``lam0``
+    warm-starts the LM damping (a runtime operand — no recompile; callers
+    running periodic refinements pass the previous solve's final lambda so
+    the re-entry skips the damping search).  When LM exits at the iteration
+    cap unconverged, the solve is re-entered from the current iterate AND
+    the current lambda up to ``max_escalations`` times (same compiled
+    program — the warm restart costs no new compile) and a loud warning is
+    printed if it STILL has not converged.
     """
     import sys
 
@@ -419,19 +426,22 @@ def optimize_global_pose_graph(problem: dict,
         else _make_pgo_jit(cfg)
     ea_d, eb_d, z_d, w_d = (jnp.asarray(ea), jnp.asarray(eb),
                             jnp.asarray(z), jnp.asarray(w))
-    G, info = solve(jnp.asarray(nodes), ea_d, eb_d, z_d, w_d)
+    lam_in = jnp.asarray(cfg.lam0 if lam0 is None else lam0, jnp.float32)
+    G, info = solve(jnp.asarray(nodes), ea_d, eb_d, z_d, w_d, lam_in)
     info = jax.device_get(info)
     err0, iters = float(info["err_init"]), float(info["iters"])
     # Unconverged at the iteration cap: warm-restart from the current
-    # iterate with chordal init off (it would reset the iterate).  Same
-    # compiled program after the first escalation anywhere in the process.
+    # iterate AND current lambda, with chordal init off (it would reset the
+    # iterate).  Same compiled program after the first escalation anywhere
+    # in the process.
     esc = 0
     while not bool(info["converged"]) and esc < max_escalations:
         esc += 1
         esc_cfg = dataclasses.replace(cfg, chordal_init=False)
         esc_solve = (make_pgo_spmd(esc_cfg, mesh) if mesh is not None
                      else _make_pgo_jit(esc_cfg))
-        G, info = esc_solve(G, ea_d, eb_d, z_d, w_d)
+        G, info = esc_solve(G, ea_d, eb_d, z_d, w_d,
+                            jnp.asarray(float(info["lam"]), jnp.float32))
         info = jax.device_get(info)
         iters += float(info["iters"])
     if not bool(info["converged"]):

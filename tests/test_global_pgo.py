@@ -126,6 +126,56 @@ def test_engine_optimize_global_improves_map():
         edge_init={eng.num_keyframes - 1: ds.odometry[-1]})
 
 
+def test_warm_lambda_is_runtime_operand():
+    """lam0 is a traced operand: two different warm starts must share one
+    compiled program (periodic refinements warm-start from the previous
+    solve's lambda without recompiling) and still converge."""
+    from srba_tpu.solver.global_graphslam import _make_pgo_jit
+
+    prob, gt = _circle_problem("SE2", K=50, seed=4)
+    # A config no other test uses: the compile-count assertion below must
+    # not see cache hits from earlier tests' identical (cfg, bucket) pairs.
+    cfg = PGOConfig(group="SE2", cg_iters=47)
+    jitted = _make_pgo_jit(cfg)
+    base = jitted._cache_size()
+    G_a, i_a = optimize_global_pose_graph(prob, cfg)
+    n_after_first = jitted._cache_size()
+    G_b, i_b = optimize_global_pose_graph(prob, cfg, lam0=1e-2)
+    assert jitted._cache_size() == n_after_first > base
+    assert i_a["converged"] and i_b["converged"]
+    np.testing.assert_allclose(G_a, G_b, atol=5e-3)
+
+
+def test_engine_periodic_mode_certifies_and_warm_starts():
+    """periodic=True must exit certified (diminishing-returns stop) and
+    stash the final lambda for the next periodic call's warm start."""
+    from srba_tpu import Observation, SrbaEngine, SrbaParams
+    from srba_tpu.utils.datasets import make_graph_slam_dataset, \
+        make_world_loop_2d
+
+    world = make_world_loop_2d(num_kfs=40, radius=6.0, num_landmarks=1,
+                               seed=6)
+    ds = make_graph_slam_dataset(world, noise_std=0.01,
+                                 loop_closure_range=3.0, seed=6)
+    eng = SrbaEngine("RelativePoses2D",
+                     params=SrbaParams(max_tree_depth=3,
+                                       max_optimize_depth=3))
+    for k, frame in enumerate(ds.frames):
+        eng.define_new_keyframe(
+            [Observation(lm_id=m, z=z) for m, z in frame],
+            edge_init={k - 1: ds.odometry[k - 1]} if k > 0 else None)
+        if k == 25:
+            _, info_mid = eng.optimize_global(periodic=True)
+            assert info_mid["converged"] == 1.0
+            assert eng._pgo_warm_lam == pytest.approx(info_mid["lam"])
+    _, info2 = eng.optimize_global(periodic=True)
+    assert info2["converged"] == 1.0
+    # Terminal call still runs (strict tolerance) and certifies on this
+    # small, well-conditioned graph.
+    _, info_t = eng.optimize_global()
+    assert info_t["converged"] == 1.0
+
+
 def test_pgo_shape_bucketing_reuses_compiles():
     """Growing-map periodic PGO calls must hit the executable cache:
     problems whose (node, edge) counts round to the same power-of-two
