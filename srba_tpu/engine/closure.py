@@ -242,10 +242,13 @@ def _fit_sigma(rms: float, JtJ: np.ndarray, obs_sigma: float = 1.0) -> float:
 
 def bootstrap_closure_edge(engine, center: int,
                            voters: List[Tuple[int, np.ndarray]],
-                           seed: np.ndarray
-                           ) -> Tuple[str, Optional[np.ndarray], float, float]:
+                           seed: np.ndarray):
     """Estimate the closure edge ``T_new<-center`` from the re-observed
-    landmarks.  Returns ``(status, T, gate_ratio, sigma)`` with status:
+    landmarks.  Returns ``(status, T, gate_ratio, sigma, info)`` — ``info``
+    is the fit's full [dof, dof] JtJ (None when no fit ran), carried into
+    ``state.k2k_info`` so the global PGO export can weight the edge
+    ANISOTROPICALLY (directions the voters actually constrained pull,
+    underdetermined ones do not).  Status:
 
     * ``"ok"``     — STRONG fit (``sigma <= closure_max_sigma``): create the
       edge now;
@@ -276,7 +279,7 @@ def bootstrap_closure_edge(engine, center: int,
     """
     model = engine.model
     if getattr(model, "is_pose_landmark", False):
-        return "n/a", None, np.inf, np.inf
+        return "n/a", None, np.inf, np.inf, None
     P, Z = _voter_points_in_center(engine, center, voters)
     d = engine.lm_type.dim
     dof = engine.group.dof
@@ -298,7 +301,7 @@ def bootstrap_closure_edge(engine, center: int,
 
     if model.has_inverse_model:
         if P.shape[0] < (2 if d == 2 else 3):
-            return "n/a", None, np.inf, np.inf
+            return "n/a", None, np.inf, np.inf, None
         # Measured points in the NEW keyframe's robot frame.
         pts_new = np.asarray(model.inverse(Z.astype(np.float32),
                                            engine._calib_np), np.float64)
@@ -307,7 +310,7 @@ def bootstrap_closure_edge(engine, center: int,
                 engine._sensor_pose.astype(np.float64), pts_new)
         # Collinearity guard: Kabsch needs spatial extent.
         if np.linalg.matrix_rank(P - P.mean(0), tol=1e-6) < min(d, 2):
-            return "n/a", None, np.inf, np.inf
+            return "n/a", None, np.inf, np.inf, None
         R, t = _kabsch(P, pts_new)      # p_new ~= R p_center + t = T (+) p
         T = _se2_from_rt(R, t) if d == 2 else _se3_from_rt(R, t)
         # Kabsch is only the INITIAL BASIN: polish in observation space
@@ -321,19 +324,21 @@ def bootstrap_closure_edge(engine, center: int,
         sigma = _fit_sigma(rms, JtJ)
         status, ratio = _gate(0.0, sigma)
         if status == "reject":
-            return status, None, ratio, sigma
-        return status, T.astype(np.float32), ratio, sigma
+            return status, None, ratio, sigma, None
+        return status, T.astype(np.float32), ratio, sigma, \
+            JtJ.astype(np.float32)
 
     if model.name == "MonocularCamera":
         if P.shape[0] < 4:
-            return "n/a", None, np.inf, np.inf
+            return "n/a", None, np.inf, np.inf, None
         T, rms, JtJ = _mono_pnp(engine, P, Z, seed)
         if T is None:
-            return "reject", None, np.inf, np.inf
+            return "reject", None, np.inf, np.inf, None
         sigma = _fit_sigma(rms, JtJ)
         status, ratio = _gate(rms / engine.parameters.closure_gate_px, sigma)
         if status == "reject":
-            return status, None, ratio, sigma
-        return status, T.astype(np.float32), ratio, sigma
+            return status, None, ratio, sigma, None
+        return status, T.astype(np.float32), ratio, sigma, \
+            JtJ.astype(np.float32)
 
-    return "n/a", None, np.inf, np.inf
+    return "n/a", None, np.inf, np.inf, None

@@ -299,9 +299,10 @@ class SrbaEngine:
     # ------------------------------------------------------------------
 
     def _add_edge(self, from_kf: int, to_kf: int, pose: np.ndarray,
-                  prior_w: float = 0.0, sigma: float = 0.0) -> int:
+                  prior_w: float = 0.0, sigma: float = 0.0,
+                  info=None) -> int:
         e = self.state.add_edge(from_kf, to_kf, pose, prior_w=prior_w,
-                                sigma=sigma)
+                                sigma=sigma, info=info)
         if self.device_master is not None:
             self.device_master.stage_edge(pose, prior_w)
         if self.native is not None:
@@ -454,6 +455,7 @@ class SrbaEngine:
                         # Prior weight: how much the seed is a MEASUREMENT
                         # (see SrbaParams.edge_prior_sigma).
                         prior_w = 0.0
+                        fit_info = None   # closure fit JtJ (anisotropic)
                         if edge_init is not None and t in edge_init:
                             init = np.asarray(edge_init[t], np.float32)
                             if p_sigma:
@@ -513,7 +515,7 @@ class SrbaEngine:
                                     self.sync(max_age=self.parameters
                                               .closure_mirror_max_age)
                                     synced_for_boot = True
-                                status, T, ratio, sigma = \
+                                status, T, ratio, sigma, fit_info = \
                                     bootstrap_closure_edge(
                                         self, t, voters, init)
                                 if self.device_master is not None \
@@ -532,7 +534,7 @@ class SrbaEngine:
                                     # (SrbaParams.closure_reverify_band);
                                     # far rejects cost nothing.
                                     self.sync()
-                                    status, T, ratio, sigma = \
+                                    status, T, ratio, sigma, fit_info = \
                                         bootstrap_closure_edge(
                                             self, t, voters, init)
                             if status == "ok":
@@ -555,6 +557,7 @@ class SrbaEngine:
                                     self._closure_pending[t] = {
                                         "sigma": float(sigma),
                                         "T": np.asarray(T, np.float32),
+                                        "info": fit_info,
                                         "kf": kf_id,
                                         "first_kf": (pend or
                                                      {}).get("first_kf",
@@ -568,7 +571,7 @@ class SrbaEngine:
                             else:
                                 sigma = 0.0   # n/a: estimate-based seed
                         e = self._add_edge(kf_id, t, init, prior_w=prior_w,
-                                           sigma=sigma)
+                                           sigma=sigma, info=fit_info)
                         self.graph.add_edge(kf_id, t)
                         info.created_edge_ids.append(e)
                         if which == "closure":
@@ -595,7 +598,7 @@ class SrbaEngine:
                         e = self._add_edge(
                             rec["kf"], c, rec["T"],
                             prior_w=(1.0 / (sig * sig) if p_sigma else 0.0),
-                            sigma=sig)
+                            sigma=sig, info=rec.get("info"))
                         self.graph.add_edge(rec["kf"], c)
                         info.created_edge_ids.append(e)
                         closure_created = True
@@ -708,7 +711,7 @@ class SrbaEngine:
             sig = max(rec["sigma"], self.parameters.edge_prior_sigma or 0.05)
             self._add_edge(rec["kf"], c,  rec["T"],
                            prior_w=(1.0 / (sig * sig) if p_sigma else 0.0),
-                           sigma=sig)
+                           sigma=sig, info=rec.get("info"))
             self.graph.add_edge(rec["kf"], c)
             n += 1
         return n

@@ -15,7 +15,8 @@ from dataclasses import asdict
 import numpy as np
 
 
-CHECKPOINT_VERSION = 4   # v4 adds per-edge measured sigma (k2k_sigma);
+CHECKPOINT_VERSION = 5   # v5 adds per-edge fit information (k2k_info)
+# and stateful-ECP state; v4 added per-edge measured sigma (k2k_sigma);
 # v3 added edge measurement priors (k2k_prior/_w)
 
 
@@ -130,6 +131,7 @@ def save_checkpoint(engine, path: str) -> None:
         k2k_prior=st.k2k_prior[: st.num_edges],
         k2k_prior_w=st.k2k_prior_w[: st.num_edges],
         k2k_sigma=st.k2k_sigma[: st.num_edges],
+        k2k_info=st.k2k_info[: st.num_edges],
         lm_base=st.lm_base[: st.num_lms],
         lm_state=st.lm_state[: st.num_lms],
         lm_fixed=st.lm_fixed[: st.num_lms],
@@ -149,7 +151,7 @@ def load_checkpoint(path: str, calib=None, noise=None, sensor_pose=None,
 
     data = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(data["meta"]).decode())
-    assert meta["version"] in (2, 3, CHECKPOINT_VERSION), (
+    assert meta["version"] in (2, 3, 4, CHECKPOINT_VERSION), (
         f"unsupported checkpoint version {meta['version']}")
     has_priors = meta["version"] >= 3
 
@@ -178,7 +180,9 @@ def load_checkpoint(path: str, calib=None, noise=None, sensor_pose=None,
                     prior_w=(float(data["k2k_prior_w"][e])
                              if has_priors else 0.0),
                     sigma=(float(data["k2k_sigma"][e])
-                           if meta["version"] >= 4 else 0.0))
+                           if meta["version"] >= 4 else 0.0),
+                    info=(data["k2k_info"][e]
+                          if meta["version"] >= 5 else None))
         if has_priors:
             st.k2k_prior[e] = data["k2k_prior"][e]
         eng.graph.add_edge(a, b)

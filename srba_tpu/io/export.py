@@ -121,28 +121,57 @@ def get_global_graphslam_problem(engine, with_weights: bool = True) -> Dict:
             sig > 0,
             np.clip((s0 / np.maximum(sig, 1e-6)) ** 2, 0.05, 1.0),
             1.0).astype(np.float32)
+        # Anisotropic information SHAPES from closure-fit JtJs (the full
+        # [dof,dof] analog of the reference's per-edge information matrices,
+        # impl/get_global_graphslam_problem.h).  Eig-normalized to max
+        # eigenvalue 1 so the scalar edge_weights above keep setting overall
+        # strength (round 4 measured near-uniform scalars beat magnitude
+        # weighting); the SHAPE redistributes it: tangent directions the
+        # voters actually constrained pull fully, underdetermined ones decay
+        # to the 0.05 floor instead of dragging the graph along a direction
+        # the fit never measured.  Emitted only when some edge has a
+        # measured fit (pure-odometry graphs keep the cheaper scalar path).
+        info = np.asarray(st.k2k_info[: st.num_edges], np.float64)
+        measured = np.abs(info).sum(axis=(1, 2)) > 0
+        if measured.any():
+            dof = st.pose_dof
+            shapes = np.tile(np.eye(dof), (st.num_edges, 1, 1))
+            lam, U = np.linalg.eigh(info[measured])
+            lam_n = np.clip(lam / np.maximum(lam[:, -1:], 1e-12), 0.05, 1.0)
+            shapes[measured] = np.einsum(
+                "eij,ej,ekj->eik", U, np.sqrt(lam_n), U)
+            out["edge_info_sqrt"] = shapes.astype(np.float32)
     return out
 
 
 def save_graphslam_g2o(engine, path: str) -> None:
-    """Write the global pose-graph in g2o text format."""
+    """Write the global pose-graph in g2o text format.  Edge information
+    matrices are the FULL anisotropic matrices when closure-fit covariances
+    were measured (``edge_info_sqrt``, scaled by the scalar edge weight —
+    the reference exports full per-edge information the same way), else
+    scaled identities."""
     prob = get_global_graphslam_problem(engine)
     w = prob["edge_weights"]
+    shapes = prob.get("edge_info_sqrt")
+    dof = 3 if prob["group"] == "SE2" else 6
+
+    def info_mat(ei):
+        m = np.eye(dof) * float(w[ei])
+        if shapes is not None:
+            s = np.asarray(shapes[ei], np.float64)
+            m = float(w[ei]) * (s @ s)          # Wsqrt is symmetric
+        return " ".join(f"{v:.4f}" for v in m[np.triu_indices(dof)])
+
     lines = []
     if prob["group"] == "SE2":
-        def info(we):   # upper-triangular diag(we) information
-            return f"{we:.3f} 0 0 {we:.3f} 0 {we:.3f}"
         for i, p in enumerate(prob["nodes"]):
             lines.append(f"VERTEX_SE2 {i} {p[0]:.9f} {p[1]:.9f} {p[2]:.9f}")
         for ei, e in enumerate(prob["edges"]):
             r = e["rel_pose"]
             lines.append(
                 f"EDGE_SE2 {e['from']} {e['to']} "
-                f"{r[0]:.9f} {r[1]:.9f} {r[2]:.9f} {info(w[ei])}")
+                f"{r[0]:.9f} {r[1]:.9f} {r[2]:.9f} {info_mat(ei)}")
     else:
-        def info(we):
-            m = np.eye(6) * float(we)
-            return " ".join(f"{v:.3f}" for v in m[np.triu_indices(6)])
         for i, p in enumerate(prob["nodes"]):
             # g2o order: x y z qx qy qz qw  (ours is w-first)
             lines.append(
@@ -153,7 +182,8 @@ def save_graphslam_g2o(engine, path: str) -> None:
             lines.append(
                 f"EDGE_SE3:QUAT {e['from']} {e['to']} "
                 f"{r[0]:.9f} {r[1]:.9f} {r[2]:.9f} "
-                f"{r[4]:.9f} {r[5]:.9f} {r[6]:.9f} {r[3]:.9f} {info(w[ei])}")
+                f"{r[4]:.9f} {r[5]:.9f} {r[6]:.9f} {r[3]:.9f} "
+                f"{info_mat(ei)}")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
 

@@ -135,6 +135,9 @@ class KeyframeCodec:
             "e_poses": np.zeros((E, self.pose_dim), np.float32),
             "run_opt": np.int32(1),
             "stop": np.int32(0),
+            # Padding slot in a BATCHED broadcast (see
+            # MultiHostEngine.broadcast_batch): replay ignores the record.
+            "skip": np.int32(0),
         }
 
     def encode(self, observations, edge_init, run_opt: bool,
@@ -213,14 +216,30 @@ class MultiHostEngine:
     On non-coordinator processes call ``define_new_keyframe()`` with no
     arguments (a pure participate-in-broadcast call), or use :meth:`serve`
     to loop until the coordinator broadcasts a stop record.
+
+    ``broadcast_batch=B`` amortizes the per-keyframe protocol cost: the
+    coordinator buffers B encoded records and ships them as ONE
+    ``broadcast_one_to_all`` of a [B]-stacked pytree; every process then
+    replays the B keyframes back-to-back.  The protocol cost per keyframe
+    drops ~B-fold (one collective latency + one codec round per batch)
+    at the price of B frames of input latency — the right trade for
+    throughput-oriented/offline runs (measured: the round-4 unbatched
+    protocol cost 122 ms/KF on localhost gloo, 57%% of the per-KF budget).
+    With ``B > 1`` the per-call return contract changes: the coordinator
+    returns ``None`` while buffering and the list of the batch's
+    ``TNewKeyFrameInfo`` at each flush; followers return one such list per
+    broadcast round (``None`` on stop).
     """
 
     def __init__(self, obs_model: str, max_obs_per_kf: int = 256,
-                 max_init_edges: int = 8, mesh=None, **engine_kwargs):
+                 max_init_edges: int = 8, mesh=None,
+                 broadcast_batch: int = 1, **engine_kwargs):
         from srba_tpu.engine.engine import SrbaEngine
         engine_kwargs.setdefault("device_master", False)
         self.mesh = mesh if mesh is not None else global_mesh()
         self.engine = SrbaEngine(obs_model, mesh=self.mesh, **engine_kwargs)
+        self.broadcast_batch = max(1, int(broadcast_batch))
+        self._buf: List[Dict[str, np.ndarray]] = []
         self.codec = KeyframeCodec(
             z_dim=self.engine.model.z_dim,
             lm_dim=self.engine.lm_type.dim,
@@ -229,40 +248,93 @@ class MultiHostEngine:
 
     # -- the synchronized per-frame step ------------------------------------
 
+    def _broadcast_round(self, msgs):
+        """One collective round: pad ``msgs`` to the batch size with skip
+        records, broadcast, replay every real record locally.  Returns
+        ``(infos, stopped)``."""
+        B = self.broadcast_batch
+        assert len(msgs) <= B
+        while len(msgs) < B:
+            m = self.codec.zeros()
+            m["skip"] = np.int32(1)
+            msgs.append(m)
+        if B == 1:
+            batch = broadcast_from_coordinator(msgs[0])
+            rows = [batch]
+        else:
+            batch = {k: np.stack([m[k] for m in msgs]) for k in msgs[0]}
+            batch = {k: np.asarray(v)
+                     for k, v in broadcast_from_coordinator(batch).items()}
+            rows = [{k: v[i] for k, v in batch.items()} for i in range(B)]
+        infos = []
+        for row in rows:
+            if int(np.asarray(row.get("skip", 0))):
+                continue
+            obs, e_init, run_opt, stop = self.codec.decode(row)
+            if stop:
+                return infos, True
+            infos.append(self.engine.define_new_keyframe(
+                obs, run_local_optimization=run_opt, edge_init=e_init))
+        return infos, False
+
     def define_new_keyframe(self, observations: Optional[Sequence] = None,
                             run_local_optimization: bool = True,
                             edge_init: Optional[dict] = None):
         """Coordinator: pass the real observation list.  Others: call with
-        ``observations=None`` to receive this keyframe.  Returns the local
-        replica's ``TNewKeyFrameInfo`` (``None`` on a stop record)."""
+        ``observations=None`` to receive keyframes.  With
+        ``broadcast_batch == 1`` (default) returns the local replica's
+        ``TNewKeyFrameInfo`` (``None`` on a stop record); batched-contract
+        returns are documented in the class docstring."""
         if is_coordinator():
             if observations is None:
                 raise ValueError("coordinator must supply observations")
             msg = self.codec.encode(observations, edge_init,
                                     run_local_optimization)
-        else:
-            msg = self.codec.zeros()
-        msg = broadcast_from_coordinator(msg)
-        obs, e_init, run_opt, stop = self.codec.decode(msg)
-        if stop:
+            if self.broadcast_batch == 1:
+                infos, _ = self._broadcast_round([msg])
+                return infos[0]
+            self._buf.append(msg)
+            if len(self._buf) < self.broadcast_batch:
+                return None
+            msgs, self._buf = self._buf, []
+            infos, _ = self._broadcast_round(msgs)
+            return infos
+        infos, stopped = self._broadcast_round([])
+        if stopped:
             return None
-        return self.engine.define_new_keyframe(
-            obs, run_local_optimization=run_opt, edge_init=e_init)
+        return infos[0] if self.broadcast_batch == 1 else infos
+
+    def flush(self):
+        """Coordinator: broadcast any buffered partial batch now (call
+        before a collective operation that must see every fed keyframe,
+        e.g. a mid-run ``optimize_global``).  Followers consume it as an
+        ordinary (partially skip-padded) round."""
+        assert is_coordinator()
+        if not self._buf:
+            return []
+        msgs, self._buf = self._buf, []
+        infos, _ = self._broadcast_round(msgs)
+        return infos
 
     def stop(self) -> None:
-        """Coordinator: release :meth:`serve` loops on the other processes."""
+        """Coordinator: flush buffered keyframes, then release
+        :meth:`serve` loops on the other processes."""
         assert is_coordinator()
-        broadcast_from_coordinator(self.codec.encode([], None, False,
-                                                     stop=True))
+        self._buf.append(self.codec.encode([], None, False, stop=True))
+        msgs, self._buf = self._buf, []
+        for i in range(0, len(msgs), self.broadcast_batch):
+            self._broadcast_round(msgs[i: i + self.broadcast_batch])
 
     def serve(self) -> int:
         """Non-coordinator event loop: replay broadcast keyframes until the
         coordinator sends stop.  Returns the number of keyframes processed."""
         assert not is_coordinator()
         n = 0
-        while self.define_new_keyframe() is not None:
-            n += 1
-        return n
+        while True:
+            infos, stopped = self._broadcast_round([])
+            n += len(infos)
+            if stopped:
+                return n
 
     # -- global refinement over the same mesh --------------------------------
 

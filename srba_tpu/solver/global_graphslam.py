@@ -92,6 +92,13 @@ class PGOConfig:
     # LM-PCG alone is local and traps there (docs/MATH.md).
     chordal_init: bool = False
     chordal_cg_iters: int = 300
+    # Anisotropic per-edge information: when True the solve takes an extra
+    # ``Wsqrt`` [E, dof, dof] operand (square root of the edge information
+    # SHAPE, exported from closure-fit JtJs by io/export.py) and whitens
+    # every edge residual/Jacobian with it — the full-matrix analog of the
+    # reference's per-edge information matrices.  Identity rows reproduce
+    # the scalar path bit-for-bit.
+    use_edge_info: bool = False
     # SPMD: mesh axis the EDGE tables are sharded over.  Nodes stay
     # replicated; every edge-indexed reduction (gradient, Hv, block diag,
     # error) is psum'ed over this axis so the replicated LM/CG control flow
@@ -130,10 +137,12 @@ def _make_pgo(cfg: PGOConfig):
             jnp.ones((t_dim,), dtype),
             jnp.full((dof - t_dim,), cfg.rot_weight, dtype)])
 
-    def _edge_sq(G, ea, eb, z, w):
+    def _edge_sq(G, ea, eb, z, w, Wsqrt=None):
         """Per-edge whitened squared tangent norm s_e [E]."""
         zeros = jnp.zeros((ea.shape[0], dof), G.dtype)
         r = jax.vmap(res_fn)(G[ea], G[eb], z, zeros, zeros)
+        if Wsqrt is not None:
+            r = jnp.einsum("eij,ej->ei", Wsqrt, r)
         return jnp.sum(r * r * _comp(G.dtype)[None, :], axis=-1) * w
 
     def _robust_cost(s):
@@ -152,10 +161,11 @@ def _make_pgo(cfg: PGOConfig):
         d2 = cfg.robust_delta * cfg.robust_delta
         return 1.0 / jnp.sqrt(1.0 + s / d2)
 
-    def linearize(G, ea, eb, z, w, rw):
+    def linearize(G, ea, eb, z, w, rw, Wsqrt=None):
         """Residuals r [E,dof] and Jacobian blocks A,B [E,dof,dof] wrt the
         tangents of the two incident nodes, weighted (static info weight w,
-        per-component weights, robust IRLS weight rw)."""
+        per-component weights, robust IRLS weight rw, optional anisotropic
+        information shape Wsqrt)."""
         zeros = jnp.zeros((ea.shape[0], dof), G.dtype)
 
         def per_edge(Ga, Gb, zi, e0a, e0b):
@@ -165,6 +175,10 @@ def _make_pgo(cfg: PGOConfig):
         r = jax.vmap(per_edge)(Ga, Gb, z, zeros, zeros)
         A = jax.vmap(jax.jacfwd(per_edge, argnums=3))(Ga, Gb, z, zeros, zeros)
         B = jax.vmap(jax.jacfwd(per_edge, argnums=4))(Ga, Gb, z, zeros, zeros)
+        if Wsqrt is not None:
+            r = jnp.einsum("eij,ej->ei", Wsqrt, r)
+            A = jnp.einsum("eij,ejk->eik", Wsqrt, A)
+            B = jnp.einsum("eij,ejk->eik", Wsqrt, B)
         sw = jnp.sqrt(w * rw)[:, None] * jnp.sqrt(_comp(G.dtype))[None, :]
         return r * sw, A * sw[..., None], B * sw[..., None]
 
@@ -195,24 +209,33 @@ def _make_pgo(cfg: PGOConfig):
 
         return JT, Hv, block_diag
 
-    def solve(G0, ea, eb, z, w, lam0):
-        """Returns (G_opt, info).  Shapes: G0 [K,pd]; ea/eb/w [E]; z [E,pd];
-        ``lam0`` a scalar f32 — the LM damping warm start (a RUNTIME operand,
-        not config: periodic refinements and escalations restart from the
-        previous solve's final lambda without a recompile).  ``w`` carries
-        validity (0 = padding edge) and constraint weight."""
-        # True-f32 contractions (TPU's default bf16-pass matmul noises the
-        # CG/Hv products; see the same pin in solver/lm.py).
-        with jax.default_matmul_precision("highest"):
-            return _solve_body(G0, ea, eb, z, w, lam0)
+    if cfg.use_edge_info:
+        def solve(G0, ea, eb, z, w, lam0, Wsqrt):
+            """Anisotropic variant: ``Wsqrt`` [E, dof, dof] whitens every
+            edge (see PGOConfig.use_edge_info); otherwise as below."""
+            with jax.default_matmul_precision("highest"):
+                return _solve_body(G0, ea, eb, z, w, lam0, Wsqrt)
+    else:
+        def solve(G0, ea, eb, z, w, lam0):
+            """Returns (G_opt, info).  Shapes: G0 [K,pd]; ea/eb/w [E];
+            z [E,pd]; ``lam0`` a scalar f32 — the LM damping warm start (a
+            RUNTIME operand, not config: periodic refinements and
+            escalations restart from the previous solve's final lambda
+            without a recompile).  ``w`` carries validity (0 = padding
+            edge) and constraint weight."""
+            # True-f32 contractions (TPU's default bf16-pass matmul noises
+            # the CG/Hv products; see the same pin in solver/lm.py).
+            with jax.default_matmul_precision("highest"):
+                return _solve_body(G0, ea, eb, z, w, lam0, None)
 
-    def _solve_body(G0, ea, eb, z, w, lam0):
+    def _solve_body(G0, ea, eb, z, w, lam0, Wsqrt):
         K = G0.shape[0]
         gauge_mask = jnp.ones((K,), G0.dtype).at[0].set(0.0)
         err_floor = cfg.abs_tol_per_edge * _psum(jnp.sum(w > 0))
 
         def err_of(G):
-            return _psum(jnp.sum(_robust_cost(_edge_sq(G, ea, eb, z, w))))
+            return _psum(jnp.sum(_robust_cost(
+                _edge_sq(G, ea, eb, z, w, Wsqrt))))
 
         def cg(Hv, Minv_mul, b):
             """Preconditioned CG for H x = b (fixed iteration cap with
@@ -247,8 +270,8 @@ def _make_pgo(cfg: PGOConfig):
 
         def lm_body(s):
             G, lam, err, it, rej, done, cg_total = s
-            rw = _robust_weight(_edge_sq(G, ea, eb, z, w))
-            r, A, B = linearize(G, ea, eb, z, w, rw)
+            rw = _robust_weight(_edge_sq(G, ea, eb, z, w, Wsqrt))
+            r, A, B = linearize(G, ea, eb, z, w, rw, Wsqrt)
             JT, Hv, block_diag = build_ops(K, ea, eb, A, B, gauge_mask)
             g = JT(r)                               # [K, dof]
             D = block_diag()                        # [K, dof, dof]
@@ -346,9 +369,12 @@ def make_pgo_spmd(cfg: PGOConfig, mesh):
     repl = P()
     info_specs = {k: repl for k in ("err_init", "err_final", "iters", "lam",
                                     "cg_iters_total", "converged")}
+    in_specs = [repl, P(axis), P(axis), P(axis), P(axis), repl]
+    if cfg.use_edge_info:
+        in_specs.append(P(axis))
     fn = jax.jit(jax.shard_map(
         solve, mesh=mesh,
-        in_specs=(repl, P(axis), P(axis), P(axis), P(axis), repl),
+        in_specs=tuple(in_specs),
         out_specs=(repl, info_specs),
         check_vma=False))
     _SPMD_PGO_CACHE[key] = fn
@@ -368,7 +394,11 @@ def optimize_global_pose_graph(problem: dict,
     ``mesh``, the edge tables are sharded over its (single) axis.
 
     ``weights`` [E]: per-edge information (defaults to the problem's own
-    ``edge_weights`` when the exporter provided them, else 1.0).  ``lam0``
+    ``edge_weights`` when the exporter provided them, else 1.0).  When the
+    problem carries ``edge_info_sqrt`` [E, dof, dof] (anisotropic
+    information shapes from closure-fit covariances, io/export.py) the
+    solve whitens each edge with its matrix (PGOConfig.use_edge_info is
+    switched on automatically).  ``lam0``
     warm-starts the LM damping (a runtime operand — no recompile; callers
     running periodic refinements pass the previous solve's final lambda so
     the re-entry skips the damping search).  When LM exits at the iteration
@@ -397,6 +427,13 @@ def optimize_global_pose_graph(problem: dict,
         weights = problem.get("edge_weights")
     w = (np.ones(E, np.float32) if weights is None
          else np.asarray(weights, np.float32))
+    Wsqrt = problem.get("edge_info_sqrt")
+    if Wsqrt is not None:
+        Wsqrt = np.asarray(Wsqrt, np.float32)
+        cfg = dataclasses.replace(cfg, use_edge_info=True)
+    elif cfg.use_edge_info:
+        dof = 3 if nodes.shape[1] == 3 else 6
+        Wsqrt = np.tile(np.eye(dof, dtype=np.float32), (E, 1, 1))
 
     # Power-of-two shape buckets: a growing map calls this repeatedly
     # (periodic global refinement) with a different (K, E) every time, and
@@ -422,12 +459,17 @@ def optimize_global_pose_graph(problem: dict,
         eb = np.concatenate([eb, np.zeros(pad, np.int32)])
         z = np.concatenate([z, np.tile(z[:1], (pad, 1))])
         w = np.concatenate([w, np.zeros(pad, np.float32)])
+        if Wsqrt is not None:
+            Wsqrt = np.concatenate([Wsqrt, np.tile(
+                np.eye(Wsqrt.shape[-1], dtype=np.float32), (pad, 1, 1))])
     solve = make_pgo_spmd(cfg, mesh) if mesh is not None \
         else _make_pgo_jit(cfg)
     ea_d, eb_d, z_d, w_d = (jnp.asarray(ea), jnp.asarray(eb),
                             jnp.asarray(z), jnp.asarray(w))
+    extra = () if Wsqrt is None else (jnp.asarray(Wsqrt),)
     lam_in = jnp.asarray(cfg.lam0 if lam0 is None else lam0, jnp.float32)
-    G, info = solve(jnp.asarray(nodes), ea_d, eb_d, z_d, w_d, lam_in)
+    G, info = solve(jnp.asarray(nodes), ea_d, eb_d, z_d, w_d, lam_in,
+                    *extra)
     info = jax.device_get(info)
     err0, iters = float(info["err_init"]), float(info["iters"])
     # Unconverged at the iteration cap: warm-restart from the current
@@ -441,7 +483,8 @@ def optimize_global_pose_graph(problem: dict,
         esc_solve = (make_pgo_spmd(esc_cfg, mesh) if mesh is not None
                      else _make_pgo_jit(esc_cfg))
         G, info = esc_solve(G, ea_d, eb_d, z_d, w_d,
-                            jnp.asarray(float(info["lam"]), jnp.float32))
+                            jnp.asarray(float(info["lam"]), jnp.float32),
+                            *extra)
         info = jax.device_get(info)
         iters += float(info["iters"])
     if not bool(info["converged"]):

@@ -7,7 +7,12 @@ Modes:
   engine — coordinator feeds a synthetic RangeBearing2D sequence through
            MultiHostEngine (per-KF broadcast sync + obs-sharded global-mesh
            LM); every process reports its replica's ATE + pose checksum.
+           Env SRBA_MH_BATCH sets MultiHostEngine.broadcast_batch.
   pgo    — edge-sharded global PGO over the global mesh.
+  overhead — timed coordinator loop for the scaling-curve harness
+           (benchmarks/scaling_curve.py).  Env knobs: SRBA_MH_WORKLOAD
+           (rb2d | stereo), SRBA_MH_K (keyframes), SRBA_MH_BATCH
+           (broadcast batch), SRBA_MH_DEVS (virtual CPU devices/process).
 Each process writes one JSON line to <out>.<pid>.
 """
 
@@ -20,7 +25,9 @@ def main() -> int:
     pid, nprocs, port, mode, out = (int(sys.argv[1]), int(sys.argv[2]),
                                     sys.argv[3], sys.argv[4], sys.argv[5])
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    devs = int(os.environ.get("SRBA_MH_DEVS", "2"))
+    os.environ["XLA_FLAGS"] = \
+        f"--xla_force_host_platform_device_count={devs}"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
     import numpy as np
@@ -39,8 +46,10 @@ def main() -> int:
         world = make_world_loop_2d(num_kfs=12, radius=6.0, num_landmarks=40,
                                    seed=5)
         from srba_tpu.models.noise import NoiseIdentity
+        batch = int(os.environ.get("SRBA_MH_BATCH", "1"))
         eng = mh.MultiHostEngine(
             "RangeBearing2D", noise=NoiseIdentity(0.005),
+            broadcast_batch=batch,
             params=SrbaParams(max_tree_depth=3, max_optimize_depth=3))
         if mh.is_coordinator():
             ds = observe(world, "RangeBearing2D", noise_std=0.005,
@@ -58,35 +67,44 @@ def main() -> int:
         res["gsum"] = float(np.abs(G).sum())
         res["num_kfs"] = eng.num_keyframes
     elif mode == "overhead":
-        # Timed coordinator loop (benchmarks/multihost_overhead.py): same
-        # engine + dataset shape as "engine" mode but big enough to time,
-        # reporting keyframes/sec so the per-KF broadcast cost share vs a
-        # single-process run can be recorded (BASELINE.md DCN-cost
-        # placeholder for the scaling north star).
+        # Timed coordinator loop for the scaling-curve harness
+        # (benchmarks/scaling_curve.py): run a BASELINE-config-shaped
+        # workload through the broadcast-synced multi-process engine and
+        # report keyframes/sec (BASELINE.md scaling evidence for the
+        # ">=70% scaling" north star).
+        import copy
         import time as _time
 
-        from srba_tpu.engine.engine import Observation, SrbaParams
-        from srba_tpu.models.noise import NoiseIdentity
-        from srba_tpu.utils.datasets import make_world_loop_2d, observe
-        K = 100
-        world = make_world_loop_2d(num_kfs=K, radius=10.0,
-                                   num_landmarks=180, seed=11)
-        eng = mh.MultiHostEngine(
-            "RangeBearing2D", noise=NoiseIdentity(0.005),
-            params=SrbaParams(max_tree_depth=4, max_optimize_depth=4))
-        mh.sync_processes("warm")
-        if mh.is_coordinator():
-            ds = observe(world, "RangeBearing2D", noise_std=0.005,
-                         sensor_range=6.0, odo_noise_std=0.01, seed=11)
-            t0 = _time.perf_counter()
-            for k, frame in enumerate(ds.frames):
-                eng.define_new_keyframe(
-                    [Observation(lm_id=m, z=z) for m, z in frame],
-                    edge_init={k - 1: ds.odometry[k - 1]} if k else None)
-            res["kf_per_sec"] = K / (_time.perf_counter() - t0)
-            eng.stop()
-        else:
-            res["served"] = eng.serve()
+        from benchmarks.scaling_curve import drive_workload, make_workload
+        wl = os.environ.get("SRBA_MH_WORKLOAD", "rb2d")
+        K = int(os.environ.get("SRBA_MH_K", "100"))
+        batch = int(os.environ.get("SRBA_MH_BATCH", "1"))
+        world, ds, engine_kwargs, d = make_workload(wl, K)
+
+        def fresh():
+            kw = dict(engine_kwargs)
+            if "ecp" in kw:
+                kw["ecp"] = copy.deepcopy(kw["ecp"])
+            return mh.MultiHostEngine(broadcast_batch=batch, **kw)
+
+        def one_pass(eng, timed):
+            if mh.is_coordinator():
+                t0 = _time.perf_counter()
+                drive_workload(eng, ds)
+                eng.stop()
+                if timed:
+                    res["kf_per_sec"] = K / (_time.perf_counter() - t0)
+            else:
+                res["served"] = eng.serve()
+            return eng
+
+        one_pass(fresh(), timed=False)      # warm pass (compiles)
+        mh.sync_processes("timed")
+        eng = one_pass(fresh(), timed=True)
+        from srba_tpu.utils.datasets import ate_rmse
+        G, _ = eng.create_complete_spanning_tree(0)
+        n = min(len(G), len(world.gt_poses))
+        res["ate"] = float(ate_rmse(G[:n, :d], world.gt_poses[:n, :d]))
         res["num_kfs"] = eng.num_keyframes
     elif mode == "pgo":
         from srba_tpu.ops.np_lie import NpSE3

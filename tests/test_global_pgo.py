@@ -176,6 +176,53 @@ def test_engine_periodic_mode_certifies_and_warm_starts():
     assert info_t["converged"] == 1.0
 
 
+def test_edge_info_identity_matches_scalar_path():
+    """edge_info_sqrt with identity shapes must reproduce the scalar solve
+    (the anisotropic whitening is exactly a no-op at W = I)."""
+    prob, gt = _circle_problem("SE2", K=50, seed=7)
+    G_s, i_s = optimize_global_pose_graph(prob)
+    E = len(prob["edges"])
+    prob_i = dict(prob)
+    prob_i["edge_info_sqrt"] = np.tile(np.eye(3, dtype=np.float32),
+                                       (E, 1, 1))
+    G_i, i_i = optimize_global_pose_graph(prob_i)
+    assert i_i["err_final"] == pytest.approx(i_s["err_final"],
+                                             rel=1e-4, abs=1e-8)
+    np.testing.assert_allclose(G_i, G_s, atol=1e-4)
+
+
+def test_edge_info_downweights_unmeasured_direction():
+    """A closure whose information shape zeroes (floors) one tangent
+    direction must pull less along it: bias the closure's translation-x
+    measurement, give it an info shape with a floored x-direction, and the
+    x-residual of that edge should stay LARGER (less enforced) than under
+    the scalar path while the solve still converges."""
+    prob, gt = _circle_problem("SE2", K=40, n_closures=1, seed=8)
+    E = len(prob["edges"])
+    # Bias the single closure edge (last) along x by 0.5 m.
+    prob["edges"][-1]["rel_pose"] = (
+        np.asarray(prob["edges"][-1]["rel_pose"], np.float32)
+        + np.asarray([0.5, 0, 0], np.float32))
+    shapes = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+    G_s, i_s = optimize_global_pose_graph(prob)
+    shapes[-1, 0, 0] = np.sqrt(0.05)    # x-direction at the 0.05 floor
+    prob_i = dict(prob)
+    prob_i["edge_info_sqrt"] = shapes
+    G_i, i_i = optimize_global_pose_graph(prob_i)
+    assert i_i["converged"] == 1.0
+
+    def closure_x_residual(G):
+        e = prob["edges"][-1]
+        a, b = e["from"], e["to"]
+        pred = NpSE2.compose(NpSE2.inverse(G[a]), G[b])
+        return abs(float(pred[0] - e["rel_pose"][0]))
+
+    # The biased direction is enforced less -> larger residual left there,
+    # and the rest of the map is at least as close to ground truth.
+    assert closure_x_residual(G_i) > closure_x_residual(G_s)
+    assert _pos_ate(G_i, gt, 2) <= _pos_ate(G_s, gt, 2) + 1e-3
+
+
 def test_pgo_shape_bucketing_reuses_compiles():
     """Growing-map periodic PGO calls must hit the executable cache:
     problems whose (node, edge) counts round to the same power-of-two

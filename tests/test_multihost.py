@@ -29,12 +29,15 @@ def _free_port() -> int:
     return port
 
 
-def _run_ring(mode: str, tmp_path, nprocs: int = 2, timeout: int = 420):
+def _run_ring(mode: str, tmp_path, nprocs: int = 2, timeout: int = 420,
+              extra_env: dict | None = None):
     out = str(tmp_path / f"out_{mode}")
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO
+    if extra_env:
+        env.update(extra_env)
     port = _free_port()
     procs = [
         subprocess.Popen(
@@ -97,6 +100,18 @@ def test_two_process_engine_matches_single_process(tmp_path):
     G, _ = eng.create_complete_spanning_tree(0)
     ate_ref = ate_rmse(G[:, :2], world.gt_poses[:, :2])
     assert results[0]["ate"] == pytest.approx(float(ate_ref), abs=2e-3)
+    assert results[0]["ate"] < 0.05
+
+
+@pytest.mark.slow
+def test_two_process_engine_batched_broadcast_identical(tmp_path):
+    """broadcast_batch=4 amortizes the per-KF protocol into one collective
+    per 4 keyframes; the replay is the same keyframes in the same order, so
+    the result must be IDENTICAL to the unbatched ring (and sane)."""
+    results = _run_ring("engine", tmp_path, extra_env={"SRBA_MH_BATCH": "4"})
+    assert results[1]["served"] == 12
+    assert all(r["num_kfs"] == 12 for r in results)
+    assert results[0]["gsum"] == pytest.approx(results[1]["gsum"], rel=1e-7)
     assert results[0]["ate"] < 0.05
 
 
