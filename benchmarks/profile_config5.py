@@ -23,6 +23,13 @@ import numpy as np
 
 
 def main(K: int = 5000) -> None:
+    import os
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from srba_tpu import Observation, SrbaEngine, SrbaParams
     from srba_tpu.ecps import LocalAreasFixedGrid
     from srba_tpu.models.noise import NoiseIdentity

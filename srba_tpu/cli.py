@@ -122,6 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
     out.add_argument("--json", action="store_true",
                      help="print final summary as one JSON line")
     out.add_argument("--verbose", type=int, default=0)
+    out.add_argument("--jax-cache", metavar="DIR", default=None,
+                     help="enable the persistent XLA compilation cache at "
+                          "DIR (repeat runs skip the 20-40s per-shape "
+                          "compiles; standard production setup)")
     return p
 
 
@@ -283,6 +287,10 @@ def _run_pgo_g2o(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.jax_cache:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", args.jax_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if args.pgo_g2o:
         return _run_pgo_g2o(args)
     from srba_tpu.engine.engine import Observation

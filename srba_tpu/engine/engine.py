@@ -1201,7 +1201,7 @@ class SrbaEngine:
         return info_out
 
     def optimize_global(self, cfg=None, write_back: bool = True, mesh=None,
-                        periodic: bool = False):
+                        periodic: bool = False, use_edge_info: bool = False):
         """Global pose-graph optimization over ALL kf2kf edges — the
         in-framework replacement for the reference's export-to-MRPT-graphslam
         path (``get_global_graphslam_problem`` consumed by an external
@@ -1219,6 +1219,14 @@ class SrbaEngine:
         previous periodic solve's final lambda (a runtime operand — no
         recompile).  Terminal calls keep the strict tolerance.
 
+        ``use_edge_info`` feeds the closure fits' ANISOTROPIC information
+        shapes into the solve (``io/export.py``).  Off by default on a
+        measured A/B (round 5, config#3 stereo terminal PGO on the real
+        chip: shaped 0.235 ATE uncertified vs scalar 0.193 certified —
+        loops need closures enforced in the fit's weak directions too);
+        the g2o export always carries the full matrices for external
+        consumers.
+
         Returns ``(G_opt [K, pose_dim], info)``.  With ``write_back`` the
         relative edge poses are re-derived from the optimized globals
         (``T_a<-b = inv(G_a) ∘ G_b``) so subsequent incremental operation
@@ -1234,7 +1242,8 @@ class SrbaEngine:
         self.flush_pending_closures()
         if self.device_master is not None:
             self.device_master.flush_append()
-        prob = get_global_graphslam_problem(self)  # syncs internally
+        prob = get_global_graphslam_problem(
+            self, with_edge_info=use_edge_info)  # syncs internally
         if cfg is None:
             from srba_tpu.solver.global_graphslam import PGOConfig
             # Engine callers get the basin-robust path by default: chordal

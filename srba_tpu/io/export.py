@@ -79,7 +79,8 @@ def edge_observation_support(engine) -> np.ndarray:
     return np.maximum(support, 1.0).astype(np.float32)
 
 
-def get_global_graphslam_problem(engine, with_weights: bool = True) -> Dict:
+def get_global_graphslam_problem(engine, with_weights: bool = True,
+                                 with_edge_info: bool = False) -> Dict:
     """Convert the relative problem into an absolute-coordinate pose graph
     (reference ``get_global_graphslam_problem``): nodes = KFs with global
     poses composed from the complete spanning tree, edges = all k2k edges as
@@ -125,15 +126,22 @@ def get_global_graphslam_problem(engine, with_weights: bool = True) -> Dict:
         # [dof,dof] analog of the reference's per-edge information matrices,
         # impl/get_global_graphslam_problem.h).  Eig-normalized to max
         # eigenvalue 1 so the scalar edge_weights above keep setting overall
-        # strength (round 4 measured near-uniform scalars beat magnitude
-        # weighting); the SHAPE redistributes it: tangent directions the
-        # voters actually constrained pull fully, underdetermined ones decay
-        # to the 0.05 floor instead of dragging the graph along a direction
-        # the fit never measured.  Emitted only when some edge has a
-        # measured fit (pure-odometry graphs keep the cheaper scalar path).
+        # strength; the SHAPE redistributes it toward the tangent directions
+        # the voters actually constrained.  OPT-IN (``with_edge_info``),
+        # per-problem on a measured A/B (round 5, real chip): STEREO
+        # (config#3 500-KF terminal PGO) shaped 0.235 ATE UNCERTIFIED vs
+        # scalar 0.193 certified — well-conditioned fits want their weak
+        # directions enforced anyway; MONOCULAR (config#5 5k-KF, cap 6)
+        # shaped 0.953 vs scalar 1.022 — depth/scale-degenerate fits DO
+        # poison the graph along unmeasured directions.  Default off;
+        # monocular pipelines should pass
+        # ``optimize_global(use_edge_info=True)``.  The g2o exporter always
+        # writes the full matrices (external consumers make their own
+        # choice, as with the reference's export).  Emitted only when some
+        # edge has a measured fit.
         info = np.asarray(st.k2k_info[: st.num_edges], np.float64)
         measured = np.abs(info).sum(axis=(1, 2)) > 0
-        if measured.any():
+        if with_edge_info and measured.any():
             dof = st.pose_dof
             shapes = np.tile(np.eye(dof), (st.num_edges, 1, 1))
             lam, U = np.linalg.eigh(info[measured])
@@ -150,7 +158,7 @@ def save_graphslam_g2o(engine, path: str) -> None:
     were measured (``edge_info_sqrt``, scaled by the scalar edge weight —
     the reference exports full per-edge information the same way), else
     scaled identities."""
-    prob = get_global_graphslam_problem(engine)
+    prob = get_global_graphslam_problem(engine, with_edge_info=True)
     w = prob["edge_weights"]
     shapes = prob.get("edge_info_sqrt")
     dof = 3 if prob["group"] == "SE2" else 6
