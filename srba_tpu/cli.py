@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
     out.add_argument("--export-g2o")
     out.add_argument("--export-ply")
     out.add_argument("--export-scene-json")
+    out.add_argument("--export-html",
+                     help="standalone interactive 3D map viewer (orbit/"
+                          "zoom/pan, no dependencies) — the headless "
+                          "analog of the reference's live GUI")
     out.add_argument("--render",
                      help="render the final map to a PNG (top-down for "
                           "SE(2), 3D for SE(3); overlays ground truth when "
@@ -205,6 +209,13 @@ def _synthetic(args):
              if args.synthetic == "loop2d"
              else make_world_loop_3d(args.num_kfs, 10.0, args.num_landmarks,
                                      seed=args.seed))
+    if args.synthetic == "loop3d" and args.obs == "RangeBearing2D":
+        # A 3D world cannot be observed by the (default) 2D model — the
+        # SE(3) odometry would feed an SE(2) engine.  Upgrade the default;
+        # an explicit 3D-capable --obs is left untouched.
+        print("note: --synthetic loop3d defaults --obs to RangeBearing3D",
+              file=sys.stderr)
+        args.obs = "RangeBearing3D"
     calib = None
     if args.obs in ("MonocularCamera", "RGBDCamera"):
         calib = CameraCalib.make(args.fx, args.fy, args.cx, args.cy)
@@ -423,14 +434,21 @@ def main(argv=None) -> int:
     if args.export_g2o:
         from srba_tpu.io.export import save_graphslam_g2o
         save_graphslam_g2o(eng, args.export_g2o)
-    if args.export_ply or args.export_scene_json:
+    if args.export_ply or args.export_scene_json or args.export_html:
         from srba_tpu.io.export import (build_opengl_representation,
                                         save_scene_json, save_scene_ply)
-        scene = build_opengl_representation(eng)
+        scene = build_opengl_representation(
+            eng, span_tree_root=args.render_spantree_root)
         if args.export_ply:
             save_scene_ply(scene, args.export_ply)
         if args.export_scene_json:
             save_scene_json(scene, args.export_scene_json)
+        if args.export_html:
+            from srba_tpu.io.html_viewer import save_scene_html
+            save_scene_html(scene, args.export_html,
+                            gt_poses=gt_poses)
+            print(f"interactive viewer written to {args.export_html}",
+                  file=sys.stderr)
     if args.profile_stats:
         print(eng.profiler.report(), file=sys.stderr)
         if eng.device_master is not None:

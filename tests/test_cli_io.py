@@ -231,6 +231,29 @@ class TestCLI:
         eng = load_checkpoint(ck)
         assert eng.num_keyframes == 10
 
+    def test_export_html_viewer(self, tmp_path, capsys):
+        """--export-html writes a standalone interactive viewer: one file,
+        embedded scene JSON, no external resources (headless analog of the
+        reference's live GUI; io/html_viewer.py)."""
+        html = str(tmp_path / "map.html")
+        rc = cli_main([
+            "--synthetic", "loop2d", "--num-kfs", "12", "--num-landmarks",
+            "30", "--max-tree-depth", "3", "--max-optimize-depth", "3",
+            "--export-html", html, "--render-spantree-root", "0", "--json",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        src = open(html).read()
+        assert "<canvas" in src and "const SCENE =" in src
+        import re
+        m = re.search(r"const SCENE = (\{.*?\});\n", src, re.S)
+        scene = json.loads(m.group(1))
+        assert len(scene["kf_positions"]) == 12
+        assert len(scene["landmarks"]) > 0
+        assert len(scene["spanning_tree_edges"]) > 0
+        # Self-contained: no external fetches.
+        assert "http://" not in src and "https://" not in src
+
     def test_graphslam_synthetic(self, capsys):
         rc = cli_main([
             "--synthetic", "graphslam2d", "--num-kfs", "15",
