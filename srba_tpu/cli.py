@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
                           "--export-g2o.  Lets public benchmarks "
                           "(sphere2500, manhattan, ...) drive the solver "
                           "directly")
+    src.add_argument("--use-edge-info", action="store_true",
+                     help="--pgo-g2o: whiten each edge with its FULL "
+                          "(eig-normalized) information matrix instead of "
+                          "a scalar weight (per-problem choice; see "
+                          "io/export.py design note)")
     src.add_argument("--gt-path", help="ground-truth poses file for ATE eval")
     src.add_argument("--synthetic", choices=["loop2d", "loop3d", "graphslam2d",
                                              "graphslam3d"],
@@ -239,7 +244,7 @@ def _run_pgo_g2o(args) -> int:
     from srba_tpu.solver.global_graphslam import (PGOConfig,
                                                   optimize_global_pose_graph)
 
-    prob = load_g2o(args.pgo_g2o)
+    prob = load_g2o(args.pgo_g2o, with_edge_info=args.use_edge_info)
     K, E = len(prob["nodes"]), len(prob["edges"])
     cfg = PGOConfig(group=prob["group"], chordal_init=True,
                     robust_delta=(args.kernel_param / 10.0

@@ -14,11 +14,14 @@ fed straight into the TPU-native global optimizer
 the only externally-anchored validation path available while the reference
 mount is empty.
 
-Information-matrix handling: our PGO weights edges with a scalar (the
-per-component translation/rotation split is a solver-level ``rot_weight``).
-Each edge's information matrix is therefore reduced to the geometric mean
-of its diagonal — exact for isotropic matrices (the common case in
-published benchmarks), a principled scalar summary otherwise.
+Information-matrix handling: by default each edge's information matrix is
+reduced to the geometric mean of its diagonal — exact for isotropic
+matrices (the common case in published benchmarks), a principled scalar
+summary otherwise.  ``load_g2o(..., with_edge_info=True)`` additionally
+emits the eig-normalized ANISOTROPIC shapes (``edge_info_sqrt``) that
+``optimize_global_pose_graph`` whitens each edge with — full-matrix
+fidelity for datasets whose information matrices genuinely differ per
+direction (see the per-problem A/B in io/export.py before enabling).
 """
 
 from __future__ import annotations
@@ -45,10 +48,25 @@ def _info_scalar(vals: np.ndarray, dim: int) -> float:
     return float(np.exp(np.mean(np.log(d))))
 
 
-def load_g2o(path: str) -> Dict:
+def _info_shape_sqrt(vals: np.ndarray, dim: int) -> np.ndarray:
+    """Eig-normalized information SHAPE square root from the row-major
+    upper-triangular info values (same normalization as io/export.py:
+    spectrum scaled to max eigenvalue 1, floored at 0.05)."""
+    iu = np.triu_indices(dim)
+    M = np.zeros((dim, dim), np.float64)
+    M[iu] = vals
+    M = M + np.triu(M, 1).T
+    lam, U = np.linalg.eigh(M)
+    lam_n = np.clip(lam / max(float(lam[-1]), 1e-12), 0.05, 1.0)
+    return (U * np.sqrt(lam_n)[None, :]) @ U.T
+
+
+def load_g2o(path: str, with_edge_info: bool = False) -> Dict:
     """Parse a g2o text file into a global pose-graph problem dict:
     ``{"group", "nodes" [K, pose_dim], "edges" [...], "edge_weights" [E]}``
-    — the exact shape ``optimize_global_pose_graph`` consumes.
+    — the exact shape ``optimize_global_pose_graph`` consumes (plus
+    ``edge_info_sqrt`` [E, dof, dof] with ``with_edge_info``; module
+    docstring).
 
     SE2 nodes are ``(x, y, theta)``; SE3 nodes are ``(x, y, z, qw, qx, qy,
     qz)`` (w-first, converted from g2o's x-y-z-w order).  Node ids must be
@@ -58,6 +76,7 @@ def load_g2o(path: str) -> Dict:
     nodes: Dict[int, np.ndarray] = {}
     edges = []
     weights = []
+    shapes = []
     group = None
 
     def _set_group(g):
@@ -94,6 +113,8 @@ def load_g2o(path: str) -> Dict:
                 info = np.asarray([float(v) for v in tok[6:12]], np.float64)
                 edges.append({"from": a, "to": b, "rel_pose": rel})
                 weights.append(_info_scalar(info, 3))
+                if with_edge_info:
+                    shapes.append(_info_shape_sqrt(info, 3))
             elif tag in ("EDGE_SE3:QUAT", "EDGE_SE3"):
                 _set_group("SE3")
                 a, b = int(tok[1]), int(tok[2])
@@ -104,6 +125,8 @@ def load_g2o(path: str) -> Dict:
                 info = np.asarray([float(v) for v in tok[10:31]], np.float64)
                 edges.append({"from": a, "to": b, "rel_pose": rel})
                 weights.append(_info_scalar(info, 6))
+                if with_edge_info:
+                    shapes.append(_info_shape_sqrt(info, 6))
             # Unknown tags (landmark vertices etc.) are skipped: this
             # importer targets pure pose graphs.
     if group is None:
@@ -123,5 +146,8 @@ def load_g2o(path: str) -> Dict:
     # per edge) transfers across datasets with arbitrary info magnitudes.
     w = np.asarray(weights, np.float32)
     w = w / max(float(np.median(w)), 1e-12)
-    return {"group": group, "nodes": G, "edges": edges,
-            "edge_weights": w, "reachable": sorted(nodes)}
+    out = {"group": group, "nodes": G, "edges": edges,
+           "edge_weights": w, "reachable": sorted(nodes)}
+    if with_edge_info:
+        out["edge_info_sqrt"] = np.stack(shapes).astype(np.float32)
+    return out

@@ -338,12 +338,16 @@ class MultiHostEngine:
 
     # -- global refinement over the same mesh --------------------------------
 
-    def optimize_global(self, cfg=None, write_back: bool = True):
+    def optimize_global(self, cfg=None, write_back: bool = True,
+                        periodic: bool = False, use_edge_info: bool = False):
         """Distributed global PGO: edge tables sharded over the global mesh
         (every host holds the identical exported problem; see
-        :func:`srba_tpu.solver.global_graphslam.make_pgo_spmd`)."""
+        :func:`srba_tpu.solver.global_graphslam.make_pgo_spmd`).  With
+        ``broadcast_batch > 1`` the coordinator must :meth:`flush` at the
+        same point every process calls this (collective alignment)."""
         return self.engine.optimize_global(cfg, write_back=write_back,
-                                           mesh=self.mesh)
+                                           mesh=self.mesh, periodic=periodic,
+                                           use_edge_info=use_edge_info)
 
     # -- passthroughs ---------------------------------------------------------
 

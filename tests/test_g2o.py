@@ -115,6 +115,30 @@ def test_sphere_benchmark(tmp_path):
     assert final_ate < 0.2, final_ate
 
 
+def test_anisotropic_info_import(tmp_path):
+    """with_edge_info=True parses the FULL information matrices into
+    eig-normalized shapes the PGO whitens with (and the solve runs)."""
+    p = str(tmp_path / "aniso.g2o")
+    # Tiny SE2 chain; second edge's info strongly favors y over x.
+    lines = [
+        "VERTEX_SE2 0 0 0 0",
+        "VERTEX_SE2 1 1 0 0",
+        "VERTEX_SE2 2 2 0 0",
+        "EDGE_SE2 0 1 1 0 0 1 0 0 1 0 1",
+        "EDGE_SE2 1 2 1 0 0 0.01 0 0 100 0 1",
+    ]
+    open(p, "w").write("\n".join(lines) + "\n")
+    prob = load_g2o(p, with_edge_info=True)
+    S = prob["edge_info_sqrt"]
+    assert S.shape == (2, 3, 3)
+    np.testing.assert_allclose(S[0], np.eye(3), atol=1e-6)
+    # Edge 1: x-direction floored at sqrt(0.05), y at 1.
+    assert S[1][1, 1] == pytest.approx(1.0, abs=1e-5)
+    assert S[1][0, 0] == pytest.approx(np.sqrt(0.05), abs=1e-5)
+    G, info = optimize_global_pose_graph(prob, PGOConfig(group="SE2"))
+    assert np.isfinite(info["err_final"])
+
+
 def test_rejects_garbage(tmp_path):
     p = tmp_path / "bad.g2o"
     p.write_text("FIX 0\n# comment only\n")
