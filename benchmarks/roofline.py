@@ -85,7 +85,7 @@ def measure(name, jitted, args, reps=5, fetch=None):
             "achieved_flops": achieved_f, "achieved_bps": achieved_b}
 
 
-def window_solver(E, L, N, iters=6):
+def window_solver(E, L, N, iters=6, neq="auto"):
     import jax
     from benchmarks.solver_engines import make_batch
     from srba_tpu.solver.lm import SolverConfig, make_solver_impl
@@ -93,7 +93,7 @@ def window_solver(E, L, N, iters=6):
     cfg = SolverConfig(obs_model="RangeBearing3D", pose_group="SE3",
                        lm_type="Euclidean3D", max_depth=4,
                        solver="schur_dense_cholesky", max_iters=iters,
-                       rel_tol=0.0)
+                       rel_tol=0.0, neq=neq)
     solve, _ = make_solver_impl(cfg)
     return jax.jit(solve), (batch,), (lambda o: o[2]["err_final"])
 
@@ -137,7 +137,10 @@ def pgo_20k():
                       for k in range(K)])
     nodes[0] = gt[0]
     prob = {"group": "SE3", "nodes": nodes, "edges": edges}
-    cfg = PGOConfig(group="SE3", max_outer=30, cg_iters=100)
+    # Same certified config as bench.py's bench_pgo (abs floor above this
+    # synthetic's 0.02/dim odometry-noise cost floor).
+    cfg = PGOConfig(group="SE3", max_outer=30, cg_iters=100,
+                    abs_tol_per_edge=2e-5)
     optimize_global_pose_graph(prob, cfg)
     t0 = time.perf_counter()
     G, info = optimize_global_pose_graph(prob, cfg)
@@ -150,15 +153,20 @@ def pgo_20k():
 def main():
     import jax
     print(f"device: {jax.devices()[0]}")
-    for name, (E, L, N) in (
+    for name, (E, L, N), neq in (
             ("LM+Schur @ config#1 bucket (E=8, L=64, N=512, 6 iters)",
-             (8, 64, 512)),
+             (8, 64, 512), "onehot"),
             ("LM+Schur @ config#3 bucket (E=16, L=256, N=2048, 6 iters)",
-             (16, 256, 2048)),
-            ("LM+Schur @ large window (E=256, L=4096, N=16384, 6 iters)",
-             (256, 4096, 16384)),
+             (16, 256, 2048), "onehot"),
+            ("LM+Schur @ config#3 bucket, segmented neq",
+             (16, 256, 2048), "segmented"),
+            ("LM+Schur @ large window (E=256, L=4096, N=16384, 6 iters), "
+             "onehot neq",
+             (256, 4096, 16384), "onehot"),
+            ("LM+Schur @ large window, segmented neq",
+             (256, 4096, 16384), "segmented"),
     ):
-        jitted, args, fetch = window_solver(E, L, N)
+        jitted, args, fetch = window_solver(E, L, N, neq=neq)
         measure(name, jitted, args, fetch=fetch)
     jitted, args, fetch = spd_inverse_prog()
     measure("batched SPD inverse [20480, 6, 6]", jitted, args, fetch=fetch)

@@ -117,6 +117,23 @@ class SolverConfig:
     # giving up — 3 was observed to strand hard loop-closure windows with
     # the step still too long (err frozen at init).
     max_consec_rejects: int = 6
+    # Normal-equation reduction backend (MEASURED decision, round 5):
+    # * "onehot" (default) — scatter the per-depth Jacobian blocks into a
+    #   DENSE [N*od, E*pdof] window Jacobian with a one-hot contraction,
+    #   then plain matmuls.  The dense intermediate costs N*od*E*pdof
+    #   floats of HBM traffic per iteration, but it rides the MXU.
+    # * "segmented" — batched per-depth-pair block products
+    #   [N, D, D, pdof, pdof] + segment-sums keyed by the path-edge index
+    #   pairs; never materializes the dense Jacobian (half the counted
+    #   bytes, 1/5 the flops at E=256/N=16384)... and is STILL SLOWER on
+    #   TPU (measured same-session A/B, real v5e: config#3 bucket 26.7 vs
+    #   39.2 ms, large window 283 vs 341 ms): XLA lowers the E^2-segment
+    #   scatter-add far below HBM streaming rate, while the one-hot
+    #   matmuls stream at full MXU/HBM speed.  Kept as an
+    #   equivalence-tested alternative (tests/test_solver_variants.py) —
+    #   the measured proof that the dense-onehot design is the right TPU
+    #   mapping at every window size.
+    neq: str = "onehot"
     # SPMD: name of the mesh axis observations are sharded over (psum of
     # partial normal equations rides this axis); None = single-device.
     axis_name: Optional[str] = None
@@ -273,27 +290,53 @@ def make_solver_impl(cfg: SolverConfig):
         r = r * scale[:, None]
         J = J * scale[:, None, None]
 
-        Jp_blocks = J[..., : cfg.max_depth * pdof].reshape(
-            N, od, cfg.max_depth, pdof)
-        Jl = J[..., cfg.max_depth * pdof:]                         # [N, od, ldof]
+        D = cfg.max_depth
+        Jp_blocks = J[..., : D * pdof].reshape(N, od, D, pdof)
+        Jl = J[..., D * pdof:]                                     # [N, od, ldof]
         Jl = Jl * b.lm_opt[b.obs_lm][:, None, None]
-
-        # Scatter path-edge blocks into the dense window Jacobian with a
-        # one-hot contraction (an MXU matmul; XLA scatters serialize).
-        onehot = jax.nn.one_hot(b.path_edge, E, dtype=r.dtype)     # [N, D, E]
-        Jp = jnp.einsum("nodp,nde->noep", Jp_blocks, onehot)
-        Jp = Jp * b.edge_opt[None, None, :, None]
-        Jp2 = Jp.reshape(N * od, P)
-        r_flat = r.reshape(N * od)
-
-        Hp = Jp2.T @ Jp2                                           # [P, P]
-        gp = Jp2.T @ r_flat                                        # [P]
 
         seg = functools.partial(jax.ops.segment_sum,
                                 segment_ids=b.obs_lm, num_segments=L)
         Hf = seg(jnp.einsum("noi,noj->nij", Jl, Jl))               # [L, l, l]
         gf = seg(jnp.einsum("noi,no->ni", Jl, r))                  # [L, l]
-        Hpf = seg(jnp.einsum("nop,noi->npi", Jp.reshape(N, od, P), Jl))
+
+        if cfg.neq == "onehot":
+            # Scatter path-edge blocks into the dense window Jacobian with
+            # a one-hot contraction (an MXU matmul; XLA scatters serialize).
+            onehot = jax.nn.one_hot(b.path_edge, E, dtype=r.dtype)  # [N,D,E]
+            Jp = jnp.einsum("nodp,nde->noep", Jp_blocks, onehot)
+            Jp = Jp * b.edge_opt[None, None, :, None]
+            Jp2 = Jp.reshape(N * od, P)
+            r_flat = r.reshape(N * od)
+            Hp = Jp2.T @ Jp2                                       # [P, P]
+            gp = Jp2.T @ r_flat                                    # [P]
+            Hpf = seg(jnp.einsum("nop,noi->npi", Jp.reshape(N, od, P), Jl))
+        else:
+            # Segmented: per-depth-pair block products + segment-sums keyed
+            # by the path-edge indices — never materializes the [N*od, P]
+            # dense Jacobian (the HBM wall at large windows).  Padded path
+            # slots contribute exactly-zero blocks (their step is the
+            # identity independent of eps), so their index-0 targets are
+            # unaffected.
+            pe = b.path_edge                                       # [N, D]
+            emask = b.edge_opt[pe]                                 # [N, D]
+            Jb = Jp_blocks * emask[:, None, :, None]               # [N,od,D,p]
+            Bpp = jnp.einsum("nodi,noep->ndeip", Jb, Jb)   # [N,D,D,p,p]
+            idx2 = (pe[:, :, None] * E + pe[:, None, :]).reshape(-1)
+            Hp = jax.ops.segment_sum(
+                Bpp.reshape(N * D * D, pdof, pdof), idx2,
+                num_segments=E * E)
+            Hp = Hp.reshape(E, E, pdof, pdof).transpose(
+                0, 2, 1, 3).reshape(P, P)
+            gb = jnp.einsum("nodi,no->ndi", Jb, r)                 # [N,D,p]
+            gp = jax.ops.segment_sum(
+                gb.reshape(N * D, pdof), pe.reshape(-1),
+                num_segments=E).reshape(P)
+            Cpl = jnp.einsum("nodi,nol->ndil", Jb, Jl)     # [N,D,p,l]
+            idx_lf = (b.obs_lm[:, None] * E + pe).reshape(-1)
+            Hpf = jax.ops.segment_sum(
+                Cpl.reshape(N * D, pdof, ldof), idx_lf,
+                num_segments=L * E).reshape(L, P, ldof)
         # Distributed Schur reduction: sum partial normal equations over the
         # observation-sharded mesh axis in ONE packed all-reduce round
         # (ICI collectives; SURVEY.md §3.1).

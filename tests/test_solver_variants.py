@@ -37,6 +37,63 @@ def test_no_schur_matches_schur():
                                rtol=5e-2, atol=5e-3)
 
 
+def test_segmented_neq_matches_onehot():
+    """The segmented normal-equation reduction (no dense [N*od, P]
+    Jacobian; SolverConfig.neq) must produce the same normal equations as
+    the one-hot path — identical math, different reduction order, so the
+    solves agree to f32 reduction tolerance.  Exercised across models
+    (point landmarks + priors, stereo with sensor pose)."""
+    import dataclasses
+
+    import jax
+    import __graft_entry__ as ge
+    from srba_tpu.solver.lm import make_solver_impl
+    from srba_tpu.solver.window import build_window
+    from srba_tpu.solver.lm import WindowBatch
+    import jax.numpy as jnp
+
+    cfg, batch = ge._stereo_window()
+    for neq in ("onehot", "segmented"):
+        solve, _ = make_solver_impl(dataclasses.replace(cfg, neq=neq))
+        e, l, info = jax.jit(solve)(batch)
+        if neq == "onehot":
+            e0, l0, err0 = e, l, float(info["err_final"])
+        else:
+            assert float(info["err_final"]) == pytest.approx(
+                err0, rel=1e-3, abs=1e-8)
+            np.testing.assert_allclose(np.asarray(e), np.asarray(e0),
+                                       rtol=1e-3, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(l), np.asarray(l0),
+                                       rtol=1e-3, atol=1e-4)
+
+
+def test_segmented_neq_engine_equivalence():
+    """End-to-end: a full engine run (range-bearing with edge priors) under
+    each reduction backend lands on the same map."""
+    import dataclasses
+
+    outs = []
+    for neq in ("onehot", "segmented"):
+        eng = _run("schur_dense_cholesky")
+        if neq == "segmented":
+            eng2 = SrbaEngine(
+                "RangeBearing2D",
+                params=SrbaParams(max_tree_depth=3, max_optimize_depth=3))
+            eng2._solver_cfg = dataclasses.replace(eng2._solver_cfg,
+                                                   neq="segmented")
+            world = make_world_loop_2d(num_kfs=15, radius=7.0,
+                                       num_landmarks=40, seed=5)
+            ds = observe(world, "RangeBearing2D", noise_std=0.004,
+                         sensor_range=6.0, odo_noise_std=0.015, seed=5)
+            for k, frame in enumerate(ds.frames):
+                eng2.define_new_keyframe(
+                    [Observation(lm_id=m, z=z) for m, z in frame],
+                    edge_init={k - 1: ds.odometry[k - 1]} if k else None)
+            eng = eng2
+        outs.append(eng.eval_overall_squared_error())
+    assert outs[1] == pytest.approx(outs[0], rel=1e-3, abs=1e-6)
+
+
 def test_optimize_edges_restricts_unknowns():
     eng = _run("schur_dense_cholesky")
     st = eng.get_rba_state()
